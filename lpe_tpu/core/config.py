@@ -1,0 +1,234 @@
+"""Typed configuration tree.
+
+Mirrors the reference's ``ScenarioSystemConfig`` bundle (reference:
+include/scenarios/i_scenario.hpp:25-41) — a shared config plus one typed config
+per system — as frozen dataclasses. All values are *static* with respect to
+jit: a tick function is specialized for a scenario's config, exactly as the
+reference bakes configs into systems at scenario-selection time
+(reference: src/sim.cpp:41-79).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+from . import constants
+
+
+def _d(obj):  # tiny helper for nested default factories
+    return field(default_factory=obj)
+
+
+@dataclass(frozen=True)
+class SharedSystemConfig:
+    """reference: include/systems/shared_system_config.hpp:10-21."""
+
+    universe_size_m: float = 6.0
+    time_acceleration: float = 1.0
+    meters_per_pixel: float = 1e-2
+    seconds_per_tick: float = 1.0 / constants.STEPS_PER_SECOND
+    gravitational_softener: float = 0.0
+    drag_coeff: float = 0.0          # set by scenarios, read by no system (parity)
+    particle_density: float = 0.5    # set by scenarios, read by no system (parity)
+    grid_size: int = 50
+    cell_size_pixels: float = 12.0
+
+
+@dataclass(frozen=True)
+class MovementConfig:
+    """reference: include/systems/movement.hpp:28-33 (empty)."""
+
+
+@dataclass(frozen=True)
+class GravityConfig:
+    """reference: include/systems/gravity.hpp:26-33."""
+
+    gravitational_acceleration: float = 9.8
+    planetary_mass_threshold: float = 1e10
+
+
+@dataclass(frozen=True)
+class BoundaryConfig:
+    """reference: include/systems/boundary.hpp:28-39."""
+
+    margin_pixels: float = 15.0
+    bounce_damping: float = 0.7
+    max_speed: float = 1.0
+
+
+@dataclass(frozen=True)
+class RotationConfig:
+    """reference: include/systems/rotation.hpp:26-33."""
+
+    angular_damping: float = 0.98
+    max_angular_speed: float = 20.0
+
+
+@dataclass(frozen=True)
+class SleepConfig:
+    """reference: include/systems/sleep.hpp:29-38."""
+
+    linear_sleep_threshold: float = 0.5
+    angular_sleep_threshold: float = 0.5
+    sleep_frames_threshold: int = 60
+
+
+@dataclass(frozen=True)
+class DampeningConfig:
+    """reference: include/systems/dampening.hpp:28-31 (dead code there; kept
+    for API parity, disabled by default exactly like the reference never adds
+    the system to its list, src/sim.cpp:107-114)."""
+
+    linear_damping: float = 0.99
+
+
+@dataclass(frozen=True)
+class BarnesHutConfig:
+    """reference: include/systems/barnes_hut.hpp:28-46."""
+
+    theta: float = 0.5
+    small_mass_threshold: float = 1e3
+    # TPU rebuild knob: below this body count the O(N^2) MXU direct sum is
+    # both faster and *more* accurate than any tree; above it the
+    # level-ordered grid tree is used.
+    direct_sum_max_bodies: int = 131072
+
+
+@dataclass(frozen=True)
+class BroadphaseConfig:
+    """reference: include/systems/rigid/broadphase.hpp:25-33."""
+
+    quadtree_capacity: int = 8       # kept for parity; unused by the TPU design
+    boundary_buffer: float = 500.0
+    small_particle_threshold: float = 0.01
+    # TPU rebuild: fixed candidate-pair capacity (pairs beyond it are dropped
+    # deterministically, mirroring the reference's silent 64/cell drop policy).
+    max_pairs: int = 2048
+
+
+@dataclass(frozen=True)
+class ContactSolverConfig:
+    """reference: include/systems/rigid/contact_solver.hpp:22-27."""
+
+    iterations: int = 10
+    friction_coeff: float = 0.5
+    # TPU rebuild: relaxation for the mass-splitting Jacobi sweep that
+    # replaces the (inherently sequential) Gauss-Seidel inner loop.
+    relaxation: float = 1.0
+
+
+@dataclass(frozen=True)
+class PositionSolverConfig:
+    """reference: include/systems/rigid/position_solver.hpp:21-35."""
+
+    iterations: int = 10
+    baumgarte: float = 0.02
+    slop: float = 0.001
+
+
+@dataclass(frozen=True)
+class RigidBodyConfig:
+    """Bundle for the 5-stage rigid pipeline (reference:
+    src/systems/rigid/rigid_body_collision.cpp:25-53)."""
+
+    broadphase: BroadphaseConfig = _d(BroadphaseConfig)
+    solver: ContactSolverConfig = _d(ContactSolverConfig)
+    position: PositionSolverConfig = _d(PositionSolverConfig)
+    gjk_iterations: int = 32         # reference caps at 100 (gjk.cpp:99)
+    epa_iterations: int = 24         # reference caps at 100 (epa.cpp:58)
+    max_contacts_per_pair: int = 8
+    # Persistent cross-tick warm starting. The reference has the machinery but
+    # recreates its ContactManager every tick so it never takes effect
+    # (reference: src/systems/rigid/rigid_body_collision.cpp:40). Off by
+    # default for behavior parity.
+    warm_start: bool = False
+
+
+@dataclass(frozen=True)
+class FluidPositionSolverConfig:
+    """reference: include/systems/fluid/fluid.hpp:140-148."""
+
+    safety_margin: float = 0.001
+    relax_factor: float = 0.9
+    max_correction: float = 0.1
+    max_velocity_update: float = 1.0
+    min_safe_distance: float = 1e-10
+    velocity_damping: float = 0.3
+    min_position_change: float = 1e-6
+
+
+@dataclass(frozen=True)
+class FluidImpulseSolverConfig:
+    """reference: include/systems/fluid/fluid.hpp:151-179."""
+
+    max_force: float = 0.15
+    max_torque: float = 0.03
+    fluid_force_scale: float = 100.0
+    fluid_force_max: float = 50000.0
+    buoyancy_strength: float = 0.2
+    viscosity_scale: float = 0.05
+    depth_scale: float = 0.04
+    depth_transition_rate: float = 2.0
+    depth_estimate_scale: float = 10.0
+    pressure_force_ratio: float = 1.0
+    viscous_force_ratio: float = 0.3
+    angular_damping_threshold: float = 0.5
+    angular_damping_factor: float = 0.005
+    max_safe_velocity_sq: float = 80.0
+    min_penetration: float = 1e-6
+    min_rel_velocity: float = 1e-6
+
+
+@dataclass(frozen=True)
+class FluidGridConfig:
+    """reference: include/systems/fluid/fluid.hpp:182-186."""
+
+    grid_epsilon: float = 1e-6
+    smoothing_length: float = 0.05
+    boundary_offset: float = 0.001
+
+
+@dataclass(frozen=True)
+class FluidNumericalConfig:
+    """reference: include/systems/fluid/fluid.hpp:189-194."""
+
+    min_distance_threshold: float = 1e-14
+    min_density_threshold: float = 1e-12
+    min_timestep: float = 1e-10
+    fallback_timestep: float = 1e-4
+
+
+@dataclass(frozen=True)
+class FluidConfig:
+    """reference: include/systems/fluid/fluid.hpp:131-200."""
+
+    gravity: float = 9.81
+    rest_density: float = 0.5
+    stiffness: float = 200.0
+    viscosity: float = 0.03
+    position_solver: FluidPositionSolverConfig = _d(FluidPositionSolverConfig)
+    impulse_solver: FluidImpulseSolverConfig = _d(FluidImpulseSolverConfig)
+    grid: FluidGridConfig = _d(FluidGridConfig)
+    numerical: FluidNumericalConfig = _d(FluidNumericalConfig)
+    damping_factor: float = 1.0
+    num_sub_steps: int = 10
+    threads_per_group: int = 256     # parity field; XLA/Pallas choose tiling
+
+
+@dataclass(frozen=True)
+class ScenarioSystemConfig:
+    """Top-level bundle (reference: include/scenarios/i_scenario.hpp:25-41)."""
+
+    shared: SharedSystemConfig = _d(SharedSystemConfig)
+    movement: MovementConfig = _d(MovementConfig)
+    gravity: GravityConfig = _d(GravityConfig)
+    boundary: BoundaryConfig = _d(BoundaryConfig)
+    rotation: RotationConfig = _d(RotationConfig)
+    sleep: SleepConfig = _d(SleepConfig)
+    dampening: DampeningConfig = _d(DampeningConfig)
+    barnes_hut: BarnesHutConfig = _d(BarnesHutConfig)
+    rigid: RigidBodyConfig = _d(RigidBodyConfig)
+    fluid: FluidConfig = _d(FluidConfig)
+
+    def replace(self, **kw) -> "ScenarioSystemConfig":
+        return dataclasses.replace(self, **kw)

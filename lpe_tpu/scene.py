@@ -1,0 +1,213 @@
+"""Scene construction: host-side entity accumulation -> device SoA state.
+
+Replaces the reference's ``IScenario::createEntities(registry)`` contract
+(reference: include/scenarios/i_scenario.hpp:50-67). Scenario builders append
+entities to a :class:`SceneBuilder`; ``finalize()`` groups them by phase
+(solids first, then gas, then liquid), pads capacity to a lane-friendly
+multiple, and produces the :class:`SimState` pytree plus a static
+:class:`SceneSpec` that tick compilation specializes on.
+
+Grouping entities by phase at build time is the TPU-native substitute for
+EnTT component views: each subsystem operates on a *static* slice of the
+arrays, so no runtime compaction or dynamic shapes are ever needed.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core import constants
+from .core.config import ScenarioSystemConfig
+from .core.constants import Phase, ShapeKind
+from .state import Bodies, SimState, make_state
+
+
+@dataclass
+class EntityProto:
+    """Host-side staging record for one entity."""
+
+    pos: tuple[float, float]
+    vel: tuple[float, float] = (0.0, 0.0)
+    mass: float = 1.0
+    phase: int = int(Phase.SOLID)
+    boundary: bool = False
+    shape_kind: int = int(ShapeKind.CIRCLE)
+    radius: float = 1.0
+    verts: np.ndarray | None = None      # local CCW vertices [k, 2]
+    angle: float = 0.0
+    omega: float = 0.0
+    inertia: float = 0.0                  # <=0: cannot rotate (no Inertia comp)
+    has_sleep: bool = False
+    asleep: bool = False
+    sleep_counter: int = 0
+    static_friction: float = 0.5
+    dynamic_friction: float = 0.3
+    color: tuple[int, int, int] = (255, 255, 255)
+    speed_of_sound: float = 1000.0
+    smoothing_length: float = 0.0         # 0 -> fluid cfg default at gather
+
+
+@dataclass(frozen=True)
+class SceneSpec:
+    """Static (non-traced) facts the tick builder specializes on."""
+
+    capacity: int
+    n_entities: int
+    n_solid: int
+    n_gas: int
+    n_liquid: int
+    # slices into the arrays (solids at 0, then gas, then liquid, then pad)
+    solid_start: int = 0
+    gas_start: int = 0
+    liquid_start: int = 0
+    # static mass facts used for system auto-enable decisions (masses are
+    # immutable at runtime, as in the reference where no system writes Mass)
+    max_nonboundary_mass: float = 0.0
+    max_mass_overall: float = 0.0
+    name: str = "scene"
+
+    @property
+    def solid_slice(self):
+        return slice(self.solid_start, self.solid_start + self.n_solid)
+
+    @property
+    def liquid_slice(self):
+        return slice(self.liquid_start, self.liquid_start + self.n_liquid)
+
+
+def _round_capacity(n: int) -> int:
+    """Pad to a multiple of 128 lanes (min 128) for TPU-friendly shapes."""
+    return max(128, -(-n // 128) * 128)
+
+
+class SceneBuilder:
+    def __init__(self, name: str = "scene"):
+        self.name = name
+        self.entities: list[EntityProto] = []
+
+    def add(self, **kw) -> EntityProto:
+        e = EntityProto(**kw)
+        self.entities.append(e)
+        return e
+
+    # -- convenience constructors used by several scenarios ----------------
+    def add_wall(self, cx, cy, half_w, half_h, *, mass=1e30,
+                 static_friction=0.5, dynamic_friction=0.3,
+                 color=(60, 60, 60)) -> EntityProto:
+        """Static rectangle wall: infinite mass, asleep, Boundary-tagged
+        (reference: src/scenarios/random_polygons.cpp:34-74)."""
+        verts = np.array([[-half_w, -half_h], [-half_w, half_h],
+                          [half_w, half_h], [half_w, -half_h]], np.float64)
+        return self.add(
+            pos=(cx, cy), mass=mass, phase=int(Phase.SOLID), boundary=True,
+            shape_kind=int(ShapeKind.POLYGON), radius=half_h, verts=verts,
+            has_sleep=True, asleep=True, sleep_counter=9999999,
+            static_friction=static_friction, dynamic_friction=dynamic_friction,
+            color=color,
+        )
+
+    def finalize(self, cfg: ScenarioSystemConfig, dtype=jnp.float32,
+                 extra_capacity: int = 0) -> "Scene":
+        order = {int(Phase.SOLID): 0, int(Phase.GAS): 1, int(Phase.LIQUID): 2}
+        ents = sorted(self.entities, key=lambda e: order[e.phase])
+        n = len(ents)
+        cap = _round_capacity(n + extra_capacity)
+        V = constants.MAX_POLY_VERTS
+
+        def arr(shape, dt, fill=0):
+            a = np.zeros(shape, dt)
+            if fill:
+                a[...] = fill
+            return a
+
+        pos = arr((cap, 2), np.float64)
+        vel = arr((cap, 2), np.float64)
+        mass = arr((cap,), np.float64, 1.0)
+        angle = arr((cap,), np.float64)
+        omega = arr((cap,), np.float64)
+        inertia = arr((cap,), np.float64)
+        shape_kind = arr((cap,), np.int32)
+        radius = arr((cap,), np.float64, 1.0)
+        verts = arr((cap, V, 2), np.float64)
+        nverts = arr((cap,), np.int32)
+        phase = arr((cap,), np.int32)
+        boundary = arr((cap,), bool)
+        has_sleep = arr((cap,), bool)
+        asleep = arr((cap,), bool)
+        sleep_counter = arr((cap,), np.int32)
+        active = arr((cap,), bool)
+        sfric = arr((cap,), np.float64, 0.5)
+        dfric = arr((cap,), np.float64, 0.3)
+        color = arr((cap, 3), np.uint8, 255)
+        h = arr((cap,), np.float64)
+        c = arr((cap,), np.float64, 1000.0)
+
+        n_by_phase = {0: 0, 1: 0, 2: 0}
+        for i, e in enumerate(ents):
+            pos[i] = e.pos
+            vel[i] = e.vel
+            mass[i] = e.mass
+            angle[i] = e.angle
+            omega[i] = e.omega
+            inertia[i] = e.inertia
+            shape_kind[i] = e.shape_kind
+            radius[i] = e.radius
+            if e.verts is not None:
+                k = len(e.verts)
+                if k > V:
+                    raise ValueError(f"polygon has {k} > {V} vertices")
+                verts[i, :k] = e.verts
+                nverts[i] = k
+            phase[i] = e.phase
+            boundary[i] = e.boundary
+            has_sleep[i] = e.has_sleep
+            asleep[i] = e.asleep
+            sleep_counter[i] = e.sleep_counter
+            sfric[i] = e.static_friction
+            dfric[i] = e.dynamic_friction
+            color[i] = e.color
+            c[i] = e.speed_of_sound
+            hh = e.smoothing_length or cfg.fluid.grid.smoothing_length
+            h[i] = hh
+            active[i] = True
+            n_by_phase[e.phase] += 1
+
+        ns, ng, nl = (n_by_phase[int(Phase.SOLID)], n_by_phase[int(Phase.GAS)],
+                      n_by_phase[int(Phase.LIQUID)])
+        nb_mass = mass[:n][~boundary[:n]] if n else np.zeros(0)
+        spec = SceneSpec(
+            capacity=cap, n_entities=n, n_solid=ns, n_gas=ng, n_liquid=nl,
+            solid_start=0, gas_start=ns, liquid_start=ns + ng,
+            max_nonboundary_mass=float(nb_mass.max()) if nb_mass.size else 0.0,
+            max_mass_overall=float(mass[:n].max()) if n else 0.0,
+            name=self.name,
+        )
+
+        j = lambda a: jnp.asarray(a, dtype)
+        bodies = Bodies(
+            pos=j(pos), vel=j(vel), mass=j(mass), angle=j(angle), omega=j(omega),
+            inertia=j(inertia), shape_kind=jnp.asarray(shape_kind),
+            radius=j(radius), verts=j(verts), nverts=jnp.asarray(nverts),
+            phase=jnp.asarray(phase), boundary=jnp.asarray(boundary),
+            has_sleep=jnp.asarray(has_sleep), asleep=jnp.asarray(asleep),
+            sleep_counter=jnp.asarray(sleep_counter), active=jnp.asarray(active),
+            static_friction=j(sfric), dynamic_friction=j(dfric),
+            color=jnp.asarray(color),
+            h=j(h), c=j(c), density=jnp.zeros((cap,), dtype),
+            pressure=jnp.zeros((cap,), dtype), vhalf=jnp.zeros((cap, 2), dtype),
+        )
+        mp = max(1, cfg.rigid.broadphase.max_pairs)
+        state = make_state(bodies, max_pairs=mp,
+                           max_contacts=cfg.rigid.max_contacts_per_pair,
+                           dtype=dtype)
+        return Scene(state=state, spec=spec, cfg=cfg)
+
+
+@dataclass
+class Scene:
+    state: SimState
+    spec: SceneSpec
+    cfg: ScenarioSystemConfig

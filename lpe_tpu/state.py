@@ -1,0 +1,131 @@
+"""Simulation state: a fixed-capacity structure-of-arrays pytree.
+
+The reference stores entities in an EnTT ECS registry (reference:
+include/sim.hpp:85-87) with per-entity components. The TPU-native equivalent
+is one dense SoA pytree living permanently in HBM: "has component" checks
+become boolean masks, ``registry.view<...>`` becomes ``jnp.where`` on masks,
+and the whole tick is a pure function ``SimState -> SimState`` under one jit.
+
+Components mapped (reference: include/entities/entity_components.hpp:8-133):
+Position, Velocity, Mass, ParticlePhase, Shape/CircleShape/PolygonShape,
+AngularPosition, AngularVelocity, Inertia, Color, Sleep, Material, Boundary,
+SpeedOfSound, SPHTemp{density,pressure}; plus the singleton SimulatorState
+(reference: include/entities/sim_components.hpp:3-10).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import constants
+
+
+def pytree_dataclass(cls):
+    """A frozen dataclass registered as a jax pytree (all fields are leaves)."""
+    cls = dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    cls.replace = _replace
+    return cls
+
+
+@pytree_dataclass
+class Bodies:
+    """Per-entity arrays, capacity ``N`` (padded; see ``active``)."""
+
+    # Kinematics
+    pos: jax.Array          # [N, 2] float
+    vel: jax.Array          # [N, 2] float
+    mass: jax.Array         # [N] float
+    angle: jax.Array        # [N] float   (AngularPosition)
+    omega: jax.Array        # [N] float   (AngularVelocity)
+    inertia: jax.Array      # [N] float   (<=0 means "cannot rotate")
+
+    # Shape
+    shape_kind: jax.Array   # [N] int32   (ShapeKind)
+    radius: jax.Array       # [N] float   (circle radius / Shape.size)
+    verts: jax.Array        # [N, MAX_POLY_VERTS, 2] float, local space, CCW
+    nverts: jax.Array       # [N] int32
+
+    # Classification / flags
+    phase: jax.Array        # [N] int32   (Phase)
+    boundary: jax.Array     # [N] bool
+    has_sleep: jax.Array    # [N] bool    (entity owns a Sleep component)
+    asleep: jax.Array       # [N] bool
+    sleep_counter: jax.Array  # [N] int32
+    active: jax.Array       # [N] bool    (capacity padding mask)
+
+    # Material & render
+    static_friction: jax.Array   # [N] float
+    dynamic_friction: jax.Array  # [N] float
+    color: jax.Array        # [N, 3] uint8
+
+    # SPH per-particle quantities
+    h: jax.Array            # [N] float   smoothing length
+    c: jax.Array            # [N] float   speed of sound
+    density: jax.Array      # [N] float
+    pressure: jax.Array     # [N] float
+    vhalf: jax.Array        # [N, 2] float (velocity-Verlet half step)
+
+    @property
+    def n(self) -> int:
+        return self.pos.shape[0]
+
+
+@pytree_dataclass
+class SimState:
+    """Full simulation state: bodies + the SimulatorState singleton."""
+
+    bodies: Bodies
+    time_scale: jax.Array          # scalar float (UI speed buttons)
+    base_time_accel: jax.Array     # scalar float
+    tick: jax.Array                # scalar int32
+    # Warm-start impulse cache for the rigid solver, keyed by candidate-pair
+    # slot. Zeros unless RigidBodyConfig.warm_start (the reference's cache is
+    # reset every tick, rigid_body_collision.cpp:40).
+    warm_normal: jax.Array         # [max_pairs, max_contacts] float
+    warm_tangent: jax.Array        # [max_pairs, max_contacts] float
+
+
+def zero_bodies(n: int, dtype=jnp.float32) -> Bodies:
+    V = constants.MAX_POLY_VERTS
+    f = lambda *s: jnp.zeros(s, dtype)
+    i = lambda *s: jnp.zeros(s, jnp.int32)
+    b = lambda *s: jnp.zeros(s, bool)
+    return Bodies(
+        pos=f(n, 2), vel=f(n, 2), mass=jnp.ones((n,), dtype),
+        angle=f(n), omega=f(n), inertia=jnp.ones((n,), dtype),
+        shape_kind=i(n), radius=jnp.ones((n,), dtype),
+        verts=f(n, V, 2), nverts=i(n),
+        phase=i(n), boundary=b(n), has_sleep=b(n),
+        asleep=b(n), sleep_counter=i(n), active=b(n),
+        static_friction=jnp.full((n,), 0.5, dtype),
+        dynamic_friction=jnp.full((n,), 0.3, dtype),
+        color=jnp.full((n, 3), 255, jnp.uint8),
+        h=f(n), c=jnp.full((n,), 1000.0, dtype),
+        density=f(n), pressure=f(n), vhalf=f(n, 2),
+    )
+
+
+def make_state(bodies: Bodies, max_pairs: int = 1, max_contacts: int = 8,
+               dtype=jnp.float32) -> SimState:
+    return SimState(
+        bodies=bodies,
+        time_scale=jnp.asarray(1.0, dtype),
+        base_time_accel=jnp.asarray(1.0, dtype),
+        tick=jnp.asarray(0, jnp.int32),
+        warm_normal=jnp.zeros((max_pairs, max_contacts), dtype),
+        warm_tangent=jnp.zeros((max_pairs, max_contacts), dtype),
+    )
+
+
+def to_numpy(tree):
+    return jax.tree.map(np.asarray, tree)

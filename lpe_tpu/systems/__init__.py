@@ -1,0 +1,58 @@
+"""System composition: one jitted tick in the reference's fixed order.
+
+Order (reference: src/sim.cpp:107-114):
+Fluid -> Boundary -> BasicGravity -> RigidBodyCollision -> BarnesHut ->
+Rotation -> Movement -> Sleep.
+
+``build_tick_fn(spec, cfg)`` resolves which systems exist for a scenario at
+build time (static decisions, mirroring the reference's auto-disable checks)
+and returns a single pure function suitable for ``jax.jit``.
+"""
+from __future__ import annotations
+
+import jax
+
+from ..core.config import ScenarioSystemConfig
+from ..scene import SceneSpec
+from ..state import SimState
+from . import simple
+from .barnes_hut import make_barnes_hut
+
+
+def build_system_list(spec: SceneSpec, cfg: ScenarioSystemConfig,
+                      include_dampening: bool = False):
+    from .fluid import make_fluid
+    from .rigid import make_rigid
+
+    systems = []
+
+    def addn(name, fn):
+        if fn is not None:
+            systems.append((name, fn))
+
+    addn("fluid", make_fluid(spec, cfg))
+    addn("boundary", simple.make_boundary(spec, cfg))
+    addn("gravity", simple.make_gravity(spec, cfg))
+    addn("rigid", make_rigid(spec, cfg))
+    addn("barnes_hut", make_barnes_hut(spec, cfg))
+    addn("rotation", simple.make_rotation(spec, cfg))
+    addn("movement", simple.make_movement(spec, cfg))
+    addn("sleep", simple.make_sleep(spec, cfg))
+    if include_dampening:  # dead code in the reference; opt-in here
+        addn("dampening", simple.make_dampening(spec, cfg))
+    return systems
+
+
+def build_tick_fn(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
+                  jit: bool = True, donate: bool = True):
+    systems = build_system_list(spec, cfg)
+
+    def tick(state: SimState) -> SimState:
+        for name, fn in systems:
+            with jax.named_scope(name):
+                state = fn(state)
+        return state.replace(tick=state.tick + 1)
+
+    if jit:
+        tick = jax.jit(tick, donate_argnums=(0,) if donate else ())
+    return tick

@@ -1,0 +1,480 @@
+"""SPH fluid system: grid neighbor search, density/pressure, forces,
+velocity-Verlet sub-stepping, and two-way rigid coupling.
+
+TPU-native rebuild of the reference's 9 Metal kernels
+(reference: src/systems/fluid/fluid_kernels.metal) and their host orchestrator
+(reference: src/systems/fluid/fluid.cpp:582-956). Key transformations:
+
+- The reference performs 10 sub-steps/tick with **2 GPU syncs each** (20 per
+  tick) because the grid is resized on the CPU from a GPU bbox reduction.
+  Here the entire multi-substep update is one fused XLA program under the
+  tick jit: the grid is *static* (cell = 2h, h is a per-scenario constant —
+  the reference itself assigns every particle ``h = config.smoothingLength``,
+  fluid.cpp:293 — so the dynamic rescale never actually changes anything).
+- The atomic per-cell index tables (``GPU_MAX_PER_CELL = 64``, metal:60)
+  become a deterministic counting sort (argsort by cell id + searchsorted
+  boundaries); the same 64-per-cell occupancy cap is applied, but
+  deterministically (first 64 in sorted order) instead of by atomic race.
+- Atomic float force accumulation onto rigids (metal:892-898) becomes a
+  deterministic masked sum.
+
+Numerics are bit-faithful to the Metal kernels: poly6/spiky/viscosity 2D
+normalizations (metal:19-38), EOS clamp (metal:301-305), symmetrized pressure
+term and pairwise h-average (metal:362-396), kick-drift-kick integration
+(metal:408-441), PBD push-out (metal:533-668) and the drag/buoyancy impulse
+model (metal:679-924).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ...core.config import ScenarioSystemConfig
+from ...core.constants import MAX_PER_CELL, MAX_POLY_VERTS, ShapeKind
+from ...scene import SceneSpec
+from ...state import SimState
+
+INF = 1e30
+
+
+# ---------------------------------------------------------------------------
+# Kernel coefficients (reference: fluid_kernels.metal:19-38)
+# ---------------------------------------------------------------------------
+
+def poly6_coeff_2d(h: float) -> float:
+    return 4.0 / (math.pi * h ** 8)
+
+
+def spiky_coeff_2d(h: float) -> float:
+    return -30.0 / (math.pi * h ** 5)
+
+
+def visc_laplacian_coeff_2d(h: float) -> float:
+    return 40.0 / (math.pi * h ** 5)
+
+
+# ---------------------------------------------------------------------------
+# Rigid proxy extraction (reference: fluid.cpp:304-438 gatherRigidBodies)
+# ---------------------------------------------------------------------------
+
+def _rigid_proxies(b, NR):
+    """World-space rigid data for coupling: every non-liquid entity with a
+    shape participates (gas included, matching the reference's gather)."""
+    vmask = jnp.arange(MAX_POLY_VERTS)[None, :] < b.nverts[:NR, None]
+    c = jnp.cos(b.angle[:NR])[:, None]
+    s = jnp.sin(b.angle[:NR])[:, None]
+    v = b.verts[:NR]
+    wx = b.pos[:NR, None, 0] + v[..., 0] * c - v[..., 1] * s
+    wy = b.pos[:NR, None, 1] + v[..., 0] * s + v[..., 1] * c
+    is_circle = b.shape_kind[:NR] == int(ShapeKind.CIRCLE)
+    r = b.radius[:NR]
+    pminx = jnp.where(vmask, wx, INF).min(1)
+    pmaxx = jnp.where(vmask, wx, -INF).max(1)
+    pminy = jnp.where(vmask, wy, INF).min(1)
+    pmaxy = jnp.where(vmask, wy, -INF).max(1)
+    return dict(
+        is_circle=is_circle,
+        pos=b.pos[:NR], radius=r,
+        wx=wx, wy=wy, vmask=vmask, nverts=b.nverts[:NR],
+        vel=b.vel[:NR], omega=b.omega[:NR],
+        mass=b.mass[:NR], inertia=b.inertia[:NR],
+        minx=jnp.where(is_circle, b.pos[:NR, 0] - r, pminx),
+        maxx=jnp.where(is_circle, b.pos[:NR, 0] + r, pmaxx),
+        miny=jnp.where(is_circle, b.pos[:NR, 1] - r, pminy),
+        maxy=jnp.where(is_circle, b.pos[:NR, 1] + r, pmaxy),
+        valid=b.active[:NR],
+    )
+
+
+def _point_in_polygon(px, py, wx, wy, vmask, nv):
+    """Ray-cast parity test over masked edge rings.
+    px,py: [NL,1]; wx,wy: [NR,V]; returns [NL,NR] bool.
+    reference: fluid_kernels.metal:125-147."""
+    V = wx.shape[1]
+    idx = jnp.arange(V)
+    prev = jnp.where(idx == 0, jnp.maximum(nv - 1, 0)[:, None],
+                     (idx - 1)[None, :])  # [NR,V]
+    xj = jnp.take_along_axis(wx, prev, axis=1)
+    yj = jnp.take_along_axis(wy, prev, axis=1)
+    xi, yi = wx, wy
+    # broadcast [NL,1,1] vs [1,NR,V]
+    p_x = px[:, :, None]
+    p_y = py[:, :, None]
+    yi_, yj_ = yi[None], yj[None]
+    xi_, xj_ = xi[None], xj[None]
+    denom = yj_ - yi_
+    tx = (xj_ - xi_) * (p_y - yi_) / jnp.where(jnp.abs(denom) < 1e-30,
+                                               1e-30, denom) + xi_
+    crosses = ((yi_ > p_y) != (yj_ > p_y)) & (p_x < tx)
+    crosses = crosses & vmask[None]
+    inside = (jnp.sum(crosses.astype(jnp.int32), axis=-1) % 2) == 1
+    return inside & (nv[None, :] >= 3)
+
+
+def _closest_point_on_polygon(px, py, wx, wy, vmask, nv):
+    """Closest boundary point; [NL,NR,2]. reference: metal:149-194."""
+    V = wx.shape[1]
+    idx = jnp.arange(V)
+    nxt = jnp.where(idx + 1 >= nv[:, None], 0, (idx + 1)[None, :])
+    x2 = jnp.take_along_axis(wx, nxt, axis=1)
+    y2 = jnp.take_along_axis(wy, nxt, axis=1)
+    ex = (x2 - wx)[None]            # [1,NR,V]
+    ey = (y2 - wy)[None]
+    dx = px[:, :, None] - wx[None]
+    dy = py[:, :, None] - wy[None]
+    elen2 = ex * ex + ey * ey
+    t = (dx * ex + dy * ey) / jnp.where(elen2 < 1e-16, 1e-16, elen2)
+    t = jnp.clip(t, 0.0, 1.0)
+    cx = wx[None] + t * ex
+    cy = wy[None] + t * ey
+    d2 = (px[:, :, None] - cx) ** 2 + (py[:, :, None] - cy) ** 2
+    bad = (~vmask[None]) | (elen2 < 1e-16)
+    d2 = jnp.where(bad, INF, d2)
+    k = jnp.argmin(d2, axis=-1)
+    cxb = jnp.take_along_axis(cx, k[..., None], axis=-1)[..., 0]
+    cyb = jnp.take_along_axis(cy, k[..., None], axis=-1)[..., 0]
+    return cxb, cyb
+
+
+def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
+    fc = cfg.fluid
+    NL = spec.n_liquid
+    L0 = spec.liquid_start
+    NR = L0                       # solids + gas precede liquids in layout
+    h = fc.grid.smoothing_length
+    cell = 2.0 * h
+    size = cfg.shared.universe_size_m
+    # static grid: universe plus a 2-cell apron on each side
+    gmin = -2
+    nx = int(math.ceil(size / cell)) + 4
+    ny = nx
+    ncells = nx * ny
+    sub_dt = (cfg.shared.seconds_per_tick * cfg.shared.time_acceleration
+              / fc.num_sub_steps)
+    half_dt = 0.5 * sub_dt
+    eps = fc.grid.grid_epsilon
+    POLY6 = poly6_coeff_2d(h)
+    # pairwise h-average == h when all h equal (the reference's actual regime)
+    SPIKY = spiky_coeff_2d(h)
+    VISC = visc_laplacian_coeff_2d(h)
+    nm = fc.numerical
+    K = MAX_PER_CELL
+
+    def cell_coords(x, y):
+        gx = jnp.floor((x + eps) / cell).astype(jnp.int32) - gmin
+        gy = jnp.floor((y + eps) / cell).astype(jnp.int32) - gmin
+        return gx, gy
+
+    def build_grid(x, y):
+        gx, gy = cell_coords(x, y)
+        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+        cid = jnp.where(ok, gy * nx + gx, ncells)
+        order = jnp.argsort(cid)
+        sc = cid[order]
+        bins = jnp.arange(ncells)
+        start = jnp.searchsorted(sc, bins, side="left")
+        end = jnp.searchsorted(sc, bins, side="right")
+        cnt = jnp.minimum(end - start, K)
+        return dict(order=order, start=start, cnt=cnt, gx=gx, gy=gy, ok=ok)
+
+    karange = jnp.arange(K)
+
+    def neighbor_sum(grid, per_neighbor):
+        """Sum ``per_neighbor(j, pair_mask)`` over the 3x3 cell neighborhood.
+
+        ``per_neighbor`` gets neighbor indices j [NL,K] and mask and returns a
+        pytree of [NL, ...] partial sums. reference: metal:272-298.
+        """
+        total = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                cx = grid["gx"] + dx
+                cy = grid["gy"] + dy
+                okc = grid["ok"] & (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+                nc = jnp.where(okc, cy * nx + cx, 0)
+                st = grid["start"][nc]
+                ct = jnp.where(okc, grid["cnt"][nc], 0)
+                idx = st[:, None] + karange[None, :]
+                mask = karange[None, :] < ct[:, None]
+                j = grid["order"][jnp.clip(idx, 0, max(NL - 1, 0))]
+                part = per_neighbor(j, mask)
+                total = part if total is None else jax.tree.map(
+                    jnp.add, total, part)
+        return total
+
+    def density_pass(x, y, mass, grid):
+        h2 = h * h
+
+        def pn(j, mask):
+            dx = x[:, None] - x[j]
+            dy = y[:, None] - y[j]
+            r2 = dx * dx + dy * dy
+            w = jnp.where(mask & (r2 < h2), POLY6 * (h2 - r2) ** 3, 0.0)
+            return (mass[j] * w).sum(1)
+
+        rho = neighbor_sum(grid, pn)
+        pres = jnp.maximum(fc.stiffness * (rho - fc.rest_density), 0.0)
+        return rho, pres
+
+    def force_pass(x, y, vx, vy, mass, rho, pres, grid):
+        h2 = h * h
+        me = jnp.arange(NL)
+
+        def pn(j, mask):
+            dx = x[:, None] - x[j]
+            dy = y[:, None] - y[j]
+            r2 = dx * dx + dy * dy
+            ok = mask & (j != me[:, None]) & (r2 >= nm.min_distance_threshold) \
+                & (r2 < h2) \
+                & (rho[j] >= nm.min_density_threshold) \
+                & (rho[:, None] >= nm.min_density_threshold)
+            r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+            term = pres[:, None] / jnp.maximum(rho[:, None] ** 2, 1e-30) + \
+                pres[j] / jnp.maximum(rho[j] ** 2, 1e-30)
+            w_spiky = SPIKY * (h - r) ** 2
+            f_press = -mass[j] * term * w_spiky
+            fx = f_press * dx / r
+            fy = f_press * dy / r
+            w_visc = VISC * (h - r)
+            f_visc = fc.viscosity * mass[j] * (w_visc / jnp.maximum(rho[j], 1e-30))
+            fx = fx - f_visc * (vx[:, None] - vx[j])
+            fy = fy - f_visc * (vy[:, None] - vy[j])
+            fx = jnp.where(ok, fx, 0.0)
+            fy = jnp.where(ok, fy, 0.0)
+            return fx.sum(1), fy.sum(1)
+
+        return neighbor_sum(grid, pn)
+
+    # ------------------------------------------------------------------
+    # Rigid-fluid coupling (dense [NL, NR] — NR is small in all scenarios)
+    # ------------------------------------------------------------------
+    isv = fc.impulse_solver
+    psv = fc.position_solver
+
+    def overlap_info(px, py, R):
+        """Shared inside/normal/penetration computation. Returns dict of
+        [NL,NR] arrays. Circle penetration = radius - dist; polygon
+        penetration = distance to boundary (the reference's quirk,
+        metal:616,788)."""
+        rx = px[:, None] - R["pos"][None, :, 0]
+        ry = py[:, None] - R["pos"][None, :, 1]
+        in_aabb = (px[:, None] >= R["minx"][None]) & \
+                  (px[:, None] <= R["maxx"][None]) & \
+                  (py[:, None] >= R["miny"][None]) & \
+                  (py[:, None] <= R["maxy"][None]) & R["valid"][None]
+        # circle
+        d2 = rx * rx + ry * ry
+        rad = R["radius"][None, :]
+        inside_c = d2 < rad * rad
+        dist_c = jnp.sqrt(jnp.maximum(d2, 1e-30))
+        # polygon
+        inside_p = _point_in_polygon(px[:, None], py[:, None],
+                                     R["wx"], R["wy"], R["vmask"], R["nverts"])
+        cxb, cyb = _closest_point_on_polygon(px[:, None], py[:, None],
+                                             R["wx"], R["wy"], R["vmask"],
+                                             R["nverts"])
+        pdx = px[:, None] - cxb
+        pdy = py[:, None] - cyb
+        dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
+        is_c = R["is_circle"][None, :]
+        inside = in_aabb & jnp.where(is_c, inside_c, inside_p)
+        return dict(
+            inside=inside, is_c=is_c, rx=rx, ry=ry,
+            dist_c=dist_c, rad=rad, dist_p=dist_p, pdx=pdx, pdy=pdy)
+
+    def position_solve(px, py, vx, vy, vhx, vhy, R):
+        """PBD push-out (reference: metal:533-668)."""
+        o = overlap_info(px, py, R)
+        # circle correction
+        d_c = jnp.maximum(o["dist_c"], psv.min_safe_distance)
+        dirx_c = jnp.where(o["dist_c"] < psv.min_safe_distance, 1.0,
+                           o["rx"] / d_c)
+        diry_c = jnp.where(o["dist_c"] < psv.min_safe_distance, 0.0,
+                           o["ry"] / d_c)
+        pen_c = (o["rad"] - d_c) + psv.safety_margin
+        # polygon correction (sign flip: reference adds then subtracts)
+        d_p = jnp.maximum(o["dist_p"], psv.min_safe_distance)
+        dirx_p = jnp.where(o["dist_p"] < psv.min_safe_distance, 1.0,
+                           o["pdx"] / d_p)
+        diry_p = jnp.where(o["dist_p"] < psv.min_safe_distance, 0.0,
+                           o["pdy"] / d_p)
+        pen_p = d_p + psv.safety_margin
+        corr_x = jnp.where(o["is_c"], -dirx_c * pen_c, dirx_p * pen_p)
+        corr_y = jnp.where(o["is_c"], -diry_c * pen_c, diry_p * pen_p)
+        corr_x = jnp.where(o["inside"], corr_x * psv.relax_factor, 0.0)
+        corr_y = jnp.where(o["inside"], corr_y * psv.relax_factor, 0.0)
+        acx = corr_x.sum(1)
+        acy = corr_y.sum(1)
+        had = o["inside"].any(1)
+        mag = jnp.sqrt(acx * acx + acy * acy)
+        scale = jnp.where(mag > psv.max_correction,
+                          psv.max_correction / jnp.maximum(mag, 1e-30), 1.0)
+        acx, acy = acx * scale, acy * scale
+        nx_ = px - acx
+        ny_ = py - acy
+        off = fc.grid.boundary_offset
+        nx_ = jnp.where(nx_ < 0.0, off, nx_)
+        ny_ = jnp.where(ny_ < 0.0, off, ny_)
+        # PBD velocity fix-up
+        ddx = nx_ - px
+        ddy = ny_ - py
+        dmag = jnp.sqrt(ddx * ddx + ddy * ddy)
+        moved = had & (dmag > psv.min_position_change)
+        cdx = ddx / jnp.maximum(dmag, 1e-30)
+        cdy = ddy / jnp.maximum(dmag, 1e-30)
+        valong = vx * cdx + vy * cdy
+        fix = moved & (valong < 0.0)
+        vx2 = jnp.where(fix, vx - valong * cdx, vx)
+        vy2 = jnp.where(fix, vy - valong * cdy, vy)
+        vhx2 = jnp.where(fix, vx2, vhx)
+        vhy2 = jnp.where(fix, vy2, vhy)
+        return nx_, ny_, vx2, vy2, vhx2, vhy2
+
+    def impulse_solve(px, py, vx, vy, rho, pres, mass, ax, ay, R):
+        """Drag/buoyancy impulse exchange (reference: metal:679-924).
+        Returns (ax, ay, Fx_r[NR], Fy_r[NR], Tq_r[NR])."""
+        o = overlap_info(px, py, R)
+        rb_v2 = (R["vel"] ** 2).sum(-1) + R["omega"] ** 2
+        ok_r = (rb_v2 <= isv.max_safe_velocity_sq)[None, :]
+        pen = jnp.where(o["is_c"],
+                        jnp.maximum(o["rad"] - jnp.maximum(o["dist_c"],
+                                                           isv.min_penetration),
+                                    0.0),
+                        jnp.maximum(o["dist_p"], isv.min_penetration))
+        nrm_x = jnp.where(o["is_c"], o["rx"] / jnp.maximum(o["dist_c"], isv.min_penetration),
+                          o["pdx"] / jnp.maximum(o["dist_p"], isv.min_penetration))
+        nrm_y = jnp.where(o["is_c"], o["ry"] / jnp.maximum(o["dist_c"], isv.min_penetration),
+                          o["pdy"] / jnp.maximum(o["dist_p"], isv.min_penetration))
+        act = o["inside"] & ok_r & (pen >= isv.min_penetration)
+
+        dens = jnp.where(rho > 0.0, rho, fc.rest_density)[:, None]
+        rel_x = o["rx"]
+        rel_y = o["ry"]
+        rig_vx = R["vel"][None, :, 0] - R["omega"][None, :] * rel_y
+        rig_vy = R["vel"][None, :, 1] + R["omega"][None, :] * rel_x
+        rvx = vx[:, None] - rig_vx
+        rvy = vy[:, None] - rig_vy
+        depth_f = jnp.tanh(isv.depth_transition_rate * pen / isv.depth_scale)
+        vn = rvx * nrm_x + rvy * nrm_y
+        tvx = rvx - nrm_x * vn
+        tvy = rvy - nrm_y * vn
+        vol = (mass / jnp.maximum(rho, 1e-30))[:, None]
+        vol = jnp.where(rho[:, None] > 0, vol, (mass / fc.rest_density)[:, None])
+        area = jnp.abs(vol) ** (2.0 / 3.0)
+        depth = jnp.minimum(py[:, None] / isv.depth_estimate_scale, 1.0)
+        hydro = dens * fc.gravity * depth
+        total_p = pres[:, None] + hydro
+        pforce = total_p * area * depth_f
+        fx = nrm_x * jnp.minimum(pforce, isv.max_force * isv.pressure_force_ratio)
+        fy = nrm_y * jnp.minimum(pforce, isv.max_force * isv.pressure_force_ratio)
+        tmag = jnp.sqrt(tvx * tvx + tvy * tvy)
+        hast = tmag > isv.min_rel_velocity
+        vforce = fc.viscosity * isv.viscosity_scale * tmag * dens * depth_f * sub_dt
+        vcap = jnp.minimum(vforce, isv.max_force * isv.viscous_force_ratio)
+        fx = fx + jnp.where(hast, -tvx / jnp.maximum(tmag, 1e-30) * vcap, 0.0)
+        fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap, 0.0)
+        # buoyancy
+        buoy = -isv.buoyancy_strength * pen * area * fc.gravity * dens
+        bfy = jnp.where(R["mass"][None, :] > 0.1, buoy, 0.0)
+        keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= isv.max_force
+        fy = jnp.where(keep, fy + bfy, fy)
+        fmag = jnp.sqrt(fx * fx + fy * fy)
+        fscale = jnp.where(fmag > isv.max_force,
+                           isv.max_force / jnp.maximum(fmag, 1e-30), 1.0)
+        fx, fy = fx * fscale, fy * fscale
+        tq = jnp.clip(rel_x * fy - rel_y * fx, -isv.max_torque, isv.max_torque)
+        spin = jnp.abs(R["omega"])[None, :] > isv.angular_damping_threshold
+        tq = tq - jnp.where(
+            spin,
+            isv.angular_damping_factor * jnp.sign(R["omega"])[None, :] *
+            jnp.abs(R["omega"])[None, :] * R["inertia"][None, :], 0.0)
+        fx = jnp.where(act, fx, 0.0)
+        fy = jnp.where(act, fy, 0.0)
+        tq = jnp.where(act, tq, 0.0)
+        # accumulate on rigids (deterministic sum replaces atomic_float)
+        Fx_r = fx.sum(0)
+        Fy_r = fy.sum(0)
+        Tq_r = tq.sum(0)
+        # Newton's 3rd law back-reaction on fluid
+        ffx = -(fx.sum(1)) * isv.fluid_force_scale
+        ffy = -(fy.sum(1)) * isv.fluid_force_scale
+        fm = jnp.sqrt(ffx * ffx + ffy * ffy)
+        fsc = jnp.where(fm > isv.fluid_force_max,
+                        isv.fluid_force_max / jnp.maximum(fm, 1e-30), 1.0)
+        inv_m = jnp.where(mass > 1e-4, 1.0 / mass, 1.0)
+        had = act.any(1)
+        ax2 = jnp.where(had, ax + ffx * fsc * inv_m, ax)
+        ay2 = jnp.where(had, ay + ffy * fsc * inv_m, ay)
+        return ax2, ay2, Fx_r, Fy_r, Tq_r
+
+    def step(state: SimState) -> SimState:
+        b = state.bodies
+        x = b.pos[L0:L0 + NL, 0]
+        y = b.pos[L0:L0 + NL, 1]
+        vx = b.vel[L0:L0 + NL, 0]
+        vy = b.vel[L0:L0 + NL, 1]
+        mass = b.mass[L0:L0 + NL]
+        R = _rigid_proxies(b, NR) if NR > 0 else None
+
+        zero = jnp.zeros_like(x)
+        carry0 = dict(x=x, y=y, vx=vx, vy=vy, ax=zero, ay=zero,
+                      rho=b.density[L0:L0 + NL], pres=b.pressure[L0:L0 + NL],
+                      Fx=jnp.zeros((max(NR, 1),), x.dtype),
+                      Fy=jnp.zeros((max(NR, 1),), x.dtype),
+                      Tq=jnp.zeros((max(NR, 1),), x.dtype))
+
+        def substep(_, cr):
+            # kick-drift (metal:408-423)
+            vhx = cr["vx"] + half_dt * cr["ax"]
+            vhy = cr["vy"] + half_dt * cr["ay"]
+            x1 = cr["x"] + vhx * sub_dt
+            y1 = cr["y"] + vhy * sub_dt
+            grid = build_grid(x1, y1)
+            rho, pres = density_pass(x1, y1, mass, grid)
+            fx, fy = force_pass(x1, y1, cr["vx"], cr["vy"], mass, rho, pres,
+                                grid)
+            ax, ay = fx, fy
+            # second kick (metal:428-441)
+            vx1 = vhx + half_dt * ax
+            vy1 = vhy + half_dt * ay
+            if NR > 0:
+                ax, ay, dFx, dFy, dTq = impulse_solve(
+                    x1, y1, vx1, vy1, rho, pres, mass, ax, ay, R)
+                x1, y1, vx1, vy1, vhx, vhy = position_solve(
+                    x1, y1, vx1, vy1, vx1, vy1, R)
+                Fx = cr["Fx"] + dFx
+                Fy = cr["Fy"] + dFy
+                Tq = cr["Tq"] + dTq
+            else:
+                Fx, Fy, Tq = cr["Fx"], cr["Fy"], cr["Tq"]
+            return dict(x=x1, y=y1, vx=vx1, vy=vy1, ax=ax, ay=ay,
+                        rho=rho, pres=pres, Fx=Fx, Fy=Fy, Tq=Tq)
+
+        cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
+
+        pos = b.pos.at[L0:L0 + NL, 0].set(cr["x"]).at[L0:L0 + NL, 1].set(cr["y"])
+        vel = b.vel.at[L0:L0 + NL, 0].set(cr["vx"]).at[L0:L0 + NL, 1].set(cr["vy"])
+        density = b.density.at[L0:L0 + NL].set(cr["rho"])
+        pressure = b.pressure.at[L0:L0 + NL].set(cr["pres"])
+
+        if NR > 0:
+            # rigid velocity write-back, once per tick (fluid.cpp:526-580)
+            rm = b.mass[:NR]
+            ri = b.inertia[:NR]
+            inv_m = jnp.where(rm > 1e-12, 1.0 / rm, 0.0)
+            inv_i = jnp.where(ri > 1e-12, 1.0 / ri, 0.0)
+            damp = fc.damping_factor
+            rvx = (b.vel[:NR, 0] + cr["Fx"] * inv_m) * damp
+            rvy = (b.vel[:NR, 1] + cr["Fy"] * inv_m) * damp
+            rom = (b.omega[:NR] + cr["Tq"] * inv_i) * damp
+            vel = vel.at[:NR, 0].set(rvx).at[:NR, 1].set(rvy)
+            omega = b.omega.at[:NR].set(rom)
+        else:
+            omega = b.omega
+
+        return state.replace(bodies=b.replace(
+            pos=pos, vel=vel, omega=omega, density=density, pressure=pressure))
+
+    return step

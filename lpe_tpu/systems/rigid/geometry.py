@@ -1,0 +1,318 @@
+"""Batched collision geometry: support functions, GJK, EPA, contact clipping.
+
+TPU-native rewrite of the reference narrowphase stack
+(reference: src/systems/rigid/{gjk.cpp,epa.cpp,narrowphase.cpp}). The
+reference's data-dependent loops (GJK simplex mutation, EPA polytope growth,
+Sutherland-Hodgman clipping with std::vector) become fixed-iteration masked
+loops over fixed-capacity arrays, vmapped across candidate pairs.
+
+Conventions match the reference:
+- GJK starts from direction (1,0) and the same simplex-update case analysis
+  (gjk.cpp:9-69).
+- EPA returns ``penetration = d`` (the support distance, epa.cpp:103-107) and
+  inserts new points after the closest edge.
+- Poly-poly contact generation always picks shape A's best face as reference
+  (the reference's ``chooseReference`` is hardwired to A,
+  narrowphase.cpp:173-174) and clips the full incident polygon against the
+  face plane and both side planes (narrowphase.cpp:204-299).
+- Circles are approximated by 8-gons *only* for clipping vertices
+  (narrowphase.cpp:56-67); support functions use the exact circle.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...core.constants import EPSILON, MAX_POLY_VERTS
+
+# Fixed capacities
+GJK_ITERS_DEFAULT = 32
+EPA_ITERS_DEFAULT = 24
+EPA_CAP = 3 + EPA_ITERS_DEFAULT + 1       # polytope grows by <=1 per iter
+CLIP_CAP = MAX_POLY_VERTS + 4             # SH clip grows by <=1 per plane
+NEG = -1e30
+
+
+def _rot(v, c, s):
+    return jnp.stack([v[..., 0] * c - v[..., 1] * s,
+                      v[..., 0] * s + v[..., 1] * c], axis=-1)
+
+
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def _dot2(a, b):
+    return (a * b).sum(-1)
+
+
+def support_shape(shape, d):
+    """Furthest point of a shape in direction ``d``.
+
+    ``shape`` is a dict of per-shape leaves (pos[2], angle, is_circle,
+    radius, verts[V,2], vmask[V]). reference: include/math/polygon.hpp:55-141.
+    """
+    # Circle branch (exact)
+    dlen = jnp.sqrt(_dot2(d, d))
+    dn = d / jnp.maximum(dlen, 1e-9)
+    p_circle = shape["pos"] + dn * shape["radius"]
+    # Polygon branch
+    c, s = jnp.cos(shape["angle"]), jnp.sin(shape["angle"])
+    w = shape["pos"][None, :] + _rot(shape["verts"], c, s)      # [V,2]
+    proj = jnp.where(shape["vmask"], w @ d, NEG)
+    p_poly = w[jnp.argmax(proj)]
+    return jnp.where(shape["is_circle"], p_circle, p_poly)
+
+
+def support_minkowski(sa, sb, d):
+    """reference: include/math/polygon.hpp:124-141."""
+    return support_shape(sa, d) - support_shape(sb, -d)
+
+
+def world_verts(shape, circle_samples: int = 8):
+    """World-space vertex ring: rotated polygon verts, or an 8-gon sampling of
+    a circle (angle-offset by the body angle), with validity mask.
+    reference: src/systems/rigid/narrowphase.cpp:52-79."""
+    V = shape["verts"].shape[0]
+    c, s = jnp.cos(shape["angle"]), jnp.sin(shape["angle"])
+    w_poly = shape["pos"][None, :] + _rot(shape["verts"], c, s)
+    k = jnp.arange(V)
+    ang = k * (2.0 * jnp.pi / circle_samples) + shape["angle"]
+    w_circ = shape["pos"][None, :] + shape["radius"] * jnp.stack(
+        [jnp.cos(ang), jnp.sin(ang)], axis=-1)
+    circ_mask = k < circle_samples
+    verts = jnp.where(shape["is_circle"], w_circ, w_poly)
+    mask = jnp.where(shape["is_circle"], circ_mask, shape["vmask"])
+    count = jnp.where(shape["is_circle"], circle_samples, shape["nverts"])
+    return verts, mask, count
+
+
+# ---------------------------------------------------------------------------
+# GJK
+# ---------------------------------------------------------------------------
+
+def gjk(sa, sb, iters: int = GJK_ITERS_DEFAULT):
+    """Boolean intersection test; returns (hit, simplex[3,2]).
+
+    Masked fixed-iteration port of the reference loop (gjk.cpp:71-133) with
+    the identical simplex case analysis (gjk.cpp:9-69).
+    """
+    d0 = jnp.array([1.0, 0.0], sa["pos"].dtype)
+    s0 = support_minkowski(sa, sb, d0)
+    miss0 = _dot2(s0, d0) < 0
+    simplex = jnp.zeros((3, 2), sa["pos"].dtype).at[0].set(s0)
+    state0 = dict(simplex=simplex, count=jnp.int32(1), d=-s0,
+                  hit=jnp.bool_(False), miss=miss0)
+
+    def body(_, st):
+        active = ~st["hit"] & ~st["miss"]
+        p = support_minkowski(sa, sb, st["d"])
+        new_miss = _dot2(p, st["d"]) < 0
+        # append p at index `count`
+        idx = jnp.arange(3)
+        simplex = jnp.where((idx == st["count"])[:, None], p, st["simplex"])
+        count = st["count"] + 1
+
+        # ---- handleSimplex ----
+        # count == 2 case: points [b, a] with a = newest
+        a2, b2 = simplex[1], simplex[0]
+        ab2, ao2 = b2 - a2, -a2
+        perp2 = jnp.stack([-ab2[1], ab2[0]])
+        perp2 = jnp.where(_dot2(perp2, ao2) < 0,
+                          jnp.stack([ab2[1], -ab2[0]]), perp2)
+        toward = _dot2(ab2, ao2) > 0
+        d_c2 = jnp.where(toward, perp2, ao2)
+        simplex_c2 = jnp.where(toward, simplex, simplex.at[0].set(a2))
+        count_c2 = jnp.where(toward, jnp.int32(2), jnp.int32(1))
+        hit_c2 = jnp.bool_(False)
+
+        # count == 3 case: points [c, b, a], a newest
+        a3, b3, c3 = simplex[2], simplex[1], simplex[0]
+        ab, ac, ao = b3 - a3, c3 - a3, -a3
+        ab_p = jnp.stack([ab[1], -ab[0]])
+        ab_p = jnp.where(_dot2(ab_p, ac) > 0, -ab_p, ab_p)
+        ac_p = jnp.stack([ac[1], -ac[0]])
+        ac_p = jnp.where(_dot2(ac_p, ab) > 0, -ac_p, ac_p)
+        out_ab = (_dot2(ab, ao) > 0) & (_dot2(ab_p, ao) > 0)
+        out_ac = (~out_ab) & (_dot2(ac, ao) > 0) & (_dot2(ac_p, ao) > 0)
+        inside = ~out_ab & ~out_ac
+        # out_ab: drop c -> [b, a];  out_ac: drop b -> [c, a]
+        simp_ab = simplex.at[0].set(b3).at[1].set(a3)
+        simp_ac = simplex.at[1].set(a3)
+        simplex_c3 = jnp.where(out_ab, simp_ab,
+                               jnp.where(out_ac, simp_ac, simplex))
+        d_c3 = jnp.where(out_ab, ab_p, jnp.where(out_ac, ac_p, st["d"]))
+        count_c3 = jnp.where(inside, jnp.int32(3), jnp.int32(2))
+
+        is3 = count == 3
+        n_simplex = jnp.where(is3, simplex_c3, simplex_c2)
+        n_d = jnp.where(is3, d_c3, d_c2)
+        n_count = jnp.where(is3, count_c3, count_c2)
+        n_hit = is3 & inside
+
+        upd = active & ~new_miss
+        return dict(
+            simplex=jnp.where(upd, n_simplex, st["simplex"]),
+            count=jnp.where(upd, n_count, st["count"]),
+            d=jnp.where(upd, n_d, st["d"]),
+            hit=jnp.where(upd, n_hit, st["hit"]),
+            miss=st["miss"] | (active & new_miss),
+        )
+
+    st = jax.lax.fori_loop(0, iters, body, state0)
+    # iteration-cap exhaustion counts as "no collision" (gjk.cpp:98-103)
+    return st["hit"] & ~st["miss"], st["simplex"]
+
+
+# ---------------------------------------------------------------------------
+# EPA
+# ---------------------------------------------------------------------------
+
+def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
+    """Penetration normal + depth from a touching simplex.
+
+    Returns (valid, normal[2], penetration). Fixed-capacity polytope with
+    masked insertion. reference: src/systems/rigid/epa.cpp:31-119.
+    """
+    dtype = simplex.dtype
+    cap = 3 + iters + 1
+    ab = simplex[1] - simplex[0]
+    ac = simplex[2] - simplex[0]
+    crossv = _cross2(ab, ac)
+    degenerate = jnp.abs(crossv) < 1e-14
+    # ensure CCW (reverse if cross < 0)
+    rev = jnp.stack([simplex[2], simplex[1], simplex[0]])
+    tri = jnp.where(crossv < 0, rev, simplex)
+
+    poly = jnp.zeros((cap, 2), dtype).at[:3].set(tri)
+    st0 = dict(poly=poly, count=jnp.int32(3), done=degenerate,
+               valid=jnp.bool_(False),
+               normal=jnp.zeros(2, dtype), pen=jnp.zeros((), dtype))
+
+    idx = jnp.arange(cap)
+
+    def body(_, st):
+        active = ~st["done"]
+        p, count = st["poly"], st["count"]
+        nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
+        a, b = p, p[nxt]
+        e = b - a
+        n = jnp.stack([e[:, 1], -e[:, 0]], axis=-1)
+        n = n / jnp.maximum(jnp.sqrt((n * n).sum(-1, keepdims=True)), 1e-30)
+        dist = (n * a).sum(-1)
+        n = jnp.where((dist < 0)[:, None], -n, n)
+        dist = jnp.abs(dist)
+        dist = jnp.where(idx < count, dist, jnp.inf)
+        j = jnp.argmin(dist)
+        en = n[j]
+        closest = dist[j]
+
+        sp = support_minkowski(sa, sb, en)
+        d = _dot2(sp, en)
+        converged = (d - closest) < EPSILON
+
+        # insert sp at position k = (j+1) % count
+        k = jnp.where(j + 1 >= count, 0, j + 1)
+        shifted = jnp.where((idx < k)[:, None], p,
+                            jnp.where((idx == k)[:, None], sp,
+                                      p[jnp.maximum(idx - 1, 0)]))
+        cap_hit = count >= cap
+
+        new_done = active & (converged | cap_hit)
+        return dict(
+            poly=jnp.where(active & ~converged & ~cap_hit, shifted, p),
+            count=jnp.where(active & ~converged & ~cap_hit, count + 1, count),
+            done=st["done"] | new_done,
+            valid=jnp.where(active & converged, True, st["valid"]),
+            normal=jnp.where(active & converged, en, st["normal"]),
+            pen=jnp.where(active & converged, d, st["pen"]),
+        )
+
+    st = jax.lax.fori_loop(0, iters, body, st0)
+    return st["valid"] & ~degenerate, st["normal"], st["pen"]
+
+
+# ---------------------------------------------------------------------------
+# Reference-face clipping (poly-poly manifolds)
+# ---------------------------------------------------------------------------
+
+def _best_face(verts, mask, count, normal):
+    """Face whose outward normal best aligns with ``normal``.
+    reference: narrowphase.cpp:126-146 (CCW face normal = rot90-left of edge).
+    """
+    V = verts.shape[0]
+    idx = jnp.arange(V)
+    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
+    e = verts[nxt] - verts
+    fn = jnp.stack([-e[:, 1], e[:, 0]], axis=-1)
+    fn = fn / jnp.maximum(jnp.sqrt((fn * fn).sum(-1, keepdims=True)), 1e-30)
+    d = (fn * normal[None, :]).sum(-1)
+    d = jnp.where(mask, d, NEG)
+    i = jnp.argmax(d)
+    return i, fn[i]
+
+
+def _clip_plane(poly, mask, count, pn, po, cap):
+    """Sutherland-Hodgman clip of a vertex ring against plane ``pn.x <= po``.
+    reference: narrowphase.cpp:204-234. Fixed-capacity, order-preserving."""
+    V = poly.shape[0]
+    idx = jnp.arange(V)
+    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
+    p1, p2 = poly, poly[nxt]
+    d1 = (p1 * pn[None, :]).sum(-1) - po
+    d2 = (p2 * pn[None, :]).sum(-1) - po
+    in1 = d1 <= 0.0
+    in2 = d2 <= 0.0
+    valid = idx < count
+    t = d1 / jnp.where(jnp.abs(d1 - d2) < 1e-30, 1e-30, d1 - d2)
+    inter = p1 + (p2 - p1) * t[:, None]
+
+    emit1 = valid & in1                      # keep p1
+    emit2 = valid & (in1 != in2)             # crossing point
+    # Each source slot emits 0..2 points; compact with a prefix sum and
+    # scatter (out-of-range indices are dropped, keeping it branchless).
+    n_emit = emit1.astype(jnp.int32) + emit2.astype(jnp.int32)
+    offs = jnp.cumsum(n_emit) - n_emit
+    pos1 = jnp.where(emit1, offs, cap + 1)
+    pos2 = jnp.where(emit2, offs + emit1.astype(jnp.int32), cap + 1)
+    out = jnp.zeros((cap, 2), poly.dtype)
+    out = out.at[pos1].set(p1, mode="drop")
+    out = out.at[pos2].set(inter, mode="drop")
+    new_count = n_emit.sum()
+    new_mask = jnp.arange(cap) < new_count
+    return out, new_mask, new_count
+
+
+def polygon_contacts(sa, sb, normal, max_contacts: int):
+    """Poly-poly manifold via reference-face clipping.
+
+    Returns (points[max_contacts,2], penetrations[max_contacts],
+    valid[max_contacts]). Normal is the EPA global normal (A->B); shape A is
+    always the reference (narrowphase.cpp:173-174).
+    """
+    av, am, ac_count = world_verts(sa)
+    bv, bm, bc_count = world_verts(sb)
+    i1, ref_n = _best_face(av, am, ac_count, normal)
+    i2 = jnp.where(i1 + 1 >= ac_count, 0, i1 + 1)
+    v1, v2 = av[i1], av[i2]
+    face_off = _dot2(ref_n, v1)
+    edge = v2 - v1
+    edge = edge / jnp.maximum(jnp.sqrt(_dot2(edge, edge)), 1e-30)
+    top_n, top_o = edge, _dot2(edge, v2)
+    bot_n, bot_o = -edge, _dot2(-edge, v1)
+
+    cap = CLIP_CAP
+    poly = jnp.zeros((cap, 2), av.dtype).at[:MAX_POLY_VERTS].set(bv)
+    mask = jnp.zeros((cap,), bool).at[:MAX_POLY_VERTS].set(bm)
+    count = bc_count
+    poly, mask, count = _clip_plane(poly, mask, count, ref_n, face_off, cap)
+    poly, mask, count = _clip_plane(poly, mask, count, top_n, top_o, cap)
+    poly, mask, count = _clip_plane(poly, mask, count, bot_n, bot_o, cap)
+
+    pen = -((poly * ref_n[None, :]).sum(-1) - face_off)
+    pts = poly[:max_contacts]
+    pen = pen[:max_contacts]
+    valid = mask[:max_contacts]
+    return pts, pen, valid

@@ -1,0 +1,136 @@
+"""Contact solvers: velocity LCP and Baumgarte position correction.
+
+The reference solves a global LCP with Projected Gauss-Seidel — inherently
+sequential over contacts (reference: src/systems/rigid/contact_solver.cpp:381-440)
+— and a 10-iteration positional push-out (position_solver.cpp:215-325).
+
+TPU-native replacement: **mass-splitting projected Jacobi** (each body is
+virtually split across its contacts, so the per-row effective mass uses
+``invMass * degree``; full impulses then sum to an average — the classic
+convergent parallel PGS substitute). Iterations run under ``lax.fori_loop``;
+impulse scatter is a deterministic ``segment_sum`` (no atomics, no races).
+
+Row construction matches the reference:
+- normal rows bounded [0, inf), no restitution (contact_solver.cpp:142-151)
+- friction rows bounded [-mu*lambda_n, +mu*lambda_n] with the *current*
+  normal impulse, global mu (contact_solver.cpp:404-427)
+- effective mass 1/(sum invM + (r x d)^2 invI) (contact_solver.cpp:226-264)
+- infinite mass = m > 1e29; rotatable = inertia in (1e-12, 1e29)
+  (contact_solver.cpp:42-57)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core.config import ContactSolverConfig, PositionSolverConfig
+
+
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def _contact_degree(ia, ib, valid, n_bodies):
+    ones = valid.astype(jnp.float32)
+    d = jax.ops.segment_sum(ones, ia, n_bodies)
+    d += jax.ops.segment_sum(ones, ib, n_bodies)
+    return jnp.maximum(d, 1.0)
+
+
+def _eff_mass(dirv, ra, rb, im_a, im_b, ii_a, ii_b):
+    ra_x = _cross2(ra, dirv)
+    rb_x = _cross2(rb, dirv)
+    s = im_a + im_b + ra_x * ra_x * ii_a + rb_x * rb_x * ii_b
+    return jnp.where(s < 1e-12, 0.0, 1.0 / jnp.maximum(s, 1e-12))
+
+
+def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
+                   lam_n0, lam_t0, cfg: ContactSolverConfig):
+    """Returns (vel, omega, lam_n, lam_t)."""
+    S = pos.shape[0]
+    nrm = n / jnp.maximum(jnp.sqrt((n * n).sum(-1, keepdims=True)), 1e-30)
+    tan = jnp.stack([-nrm[:, 1], nrm[:, 0]], axis=-1)
+    ra = pt - pos[ia]
+    rb = pt - pos[ib]
+    deg = _contact_degree(ia, ib, valid, S)
+    im_a, im_b = inv_m[ia], inv_m[ib]
+    ii_a, ii_b = inv_i[ia], inv_i[ib]
+    dg_a, dg_b = deg[ia], deg[ib]
+    eff_n = _eff_mass(nrm, ra, rb, im_a * dg_a, im_b * dg_b,
+                      ii_a * dg_a, ii_b * dg_b) * valid
+    eff_t = _eff_mass(tan, ra, rb, im_a * dg_a, im_b * dg_b,
+                      ii_a * dg_a, ii_b * dg_b) * valid
+
+    def rel_vel(v, w, dirv):
+        va = v[ia] + jnp.stack([-w[ia] * ra[:, 1], w[ia] * ra[:, 0]], -1)
+        vb = v[ib] + jnp.stack([-w[ib] * rb[:, 1], w[ib] * rb[:, 0]], -1)
+        return ((vb - va) * dirv).sum(-1)
+
+    def apply(v, w, dl, dirv):
+        ja = -dirv * (dl * im_a)[:, None]
+        jb = dirv * (dl * im_b)[:, None]
+        dwa = -_cross2(ra, dirv) * dl * ii_a
+        dwb = _cross2(rb, dirv) * dl * ii_b
+        v = v + jax.ops.segment_sum(ja, ia, S) + jax.ops.segment_sum(jb, ib, S)
+        w = w + jax.ops.segment_sum(dwa, ia, S) + jax.ops.segment_sum(dwb, ib, S)
+        return v, w
+
+    relax = cfg.relaxation
+    mu = cfg.friction_coeff
+
+    def body(_, carry):
+        v, w, ln, lt = carry
+        # normal sweep
+        vn = rel_vel(v, w, nrm)
+        dl = -eff_n * vn * relax
+        new_ln = jnp.maximum(ln + dl, 0.0)
+        dl = jnp.where(valid, new_ln - ln, 0.0)
+        v, w = apply(v, w, dl, nrm)
+        ln = jnp.where(valid, new_ln, ln)
+        # friction sweep
+        lim = mu * ln
+        vt = rel_vel(v, w, tan)
+        dlt = -eff_t * vt * relax
+        new_lt = jnp.clip(lt + dlt, -lim, lim)
+        dlt = jnp.where(valid, new_lt - lt, 0.0)
+        v, w = apply(v, w, dlt, tan)
+        lt = jnp.where(valid, new_lt, lt)
+        return v, w, ln, lt
+
+    v, w, ln, lt = jax.lax.fori_loop(
+        0, cfg.iterations, body, (vel, omega, lam_n0, lam_t0))
+    return v, w, ln, lt
+
+
+def solve_position(pos, angle, inv_m, inv_i, ia, ib, n, pt, pen, valid,
+                   cfg: PositionSolverConfig):
+    """Baumgarte positional correction; lever arms track the moving bodies,
+    penetration stays frozen, exactly like the reference
+    (position_solver.cpp:215-290). Returns (pos, angle)."""
+    S = pos.shape[0]
+    nrm = n / jnp.maximum(jnp.sqrt((n * n).sum(-1, keepdims=True)), 1e-30)
+    act = valid & ((pen - cfg.slop) > 0.0)
+    corr = cfg.baumgarte * (pen - cfg.slop)
+    deg = _contact_degree(ia, ib, act, S)
+    im_a, im_b = inv_m[ia], inv_m[ib]
+    ii_a, ii_b = inv_i[ia], inv_i[ib]
+    dg_a, dg_b = deg[ia], deg[ib]
+
+    def body(_, carry):
+        p, ang = carry
+        ra = pt - p[ia]
+        rb = pt - p[ib]
+        ra_x = _cross2(ra, nrm)
+        rb_x = _cross2(rb, nrm)
+        denom = (im_a * dg_a + im_b * dg_b +
+                 ra_x * ra_x * ii_a * dg_a + rb_x * rb_x * ii_b * dg_b)
+        scalar = jnp.where(act & (denom > 1e-12),
+                           corr / jnp.maximum(denom, 1e-12), 0.0)
+        d = nrm * scalar[:, None]
+        p = p - jax.ops.segment_sum(d * im_a[:, None], ia, S)
+        p = p + jax.ops.segment_sum(d * im_b[:, None], ib, S)
+        ang = ang - jax.ops.segment_sum(ra_x * scalar * ii_a, ia, S)
+        ang = ang + jax.ops.segment_sum(rb_x * scalar * ii_b, ib, S)
+        return p, ang
+
+    return jax.lax.fori_loop(0, cfg.iterations, body, (pos, angle))
