@@ -108,20 +108,27 @@ class BroadphaseConfig:
 
 @dataclass(frozen=True)
 class ContactSolverConfig:
-    """reference: include/systems/rigid/contact_solver.hpp:22-27."""
+    """reference: include/systems/rigid/contact_solver.hpp:22-27.
 
-    iterations: int = 10
+    The reference runs 10 sequential PGS iterations; the TPU solver is
+    mass-splitting projected *Jacobi* (parallel over contacts), which needs
+    more sweeps for the same convergence on stacks — each sweep is a handful
+    of tiny fused VPU ops, so the budget is raised rather than matched
+    1:1."""
+
+    iterations: int = 40
     friction_coeff: float = 0.5
-    # TPU rebuild: relaxation for the mass-splitting Jacobi sweep that
-    # replaces the (inherently sequential) Gauss-Seidel inner loop.
+    # relaxation for the mass-splitting Jacobi sweep that replaces the
+    # (inherently sequential) Gauss-Seidel inner loop.
     relaxation: float = 1.0
 
 
 @dataclass(frozen=True)
 class PositionSolverConfig:
-    """reference: include/systems/rigid/position_solver.hpp:21-35."""
+    """reference: include/systems/rigid/position_solver.hpp:21-35 (10 iters
+    there; raised for the parallel Jacobi scheme, see ContactSolverConfig)."""
 
-    iterations: int = 10
+    iterations: int = 16
     baumgarte: float = 0.02
     slop: float = 0.001
 
@@ -137,11 +144,13 @@ class RigidBodyConfig:
     gjk_iterations: int = 32         # reference caps at 100 (gjk.cpp:99)
     epa_iterations: int = 24         # reference caps at 100 (epa.cpp:58)
     max_contacts_per_pair: int = 8
-    # Persistent cross-tick warm starting. The reference has the machinery but
-    # recreates its ContactManager every tick so it never takes effect
-    # (reference: src/systems/rigid/rigid_body_collision.cpp:40). Off by
-    # default for behavior parity.
-    warm_start: bool = False
+    # Persistent cross-tick warm starting. The reference built the machinery
+    # (ContactManager impulse caching, contact_manager.cpp:164-279) but
+    # recreates the manager every tick so it never takes effect
+    # (rigid_body_collision.cpp:40). Here it is on by default: the parallel
+    # Jacobi solver leans on persistent-contact warm starts for stack
+    # convergence, which is the behavior the reference *intended*.
+    warm_start: bool = True
 
 
 @dataclass(frozen=True)
@@ -186,6 +195,16 @@ class FluidGridConfig:
     grid_epsilon: float = 1e-6
     smoothing_length: float = 0.05
     boundary_offset: float = 0.001
+    # Grid cell edge as a multiple of h. The reference uses 2h cells with a
+    # 3x3 scan (fluid.cpp:737-755); since the kernels' support is r < h, a
+    # 3x3 scan over *h-sized* cells already covers every interacting pair
+    # exactly, with 4x fewer pair slots per cell. Must be >= 1.0.
+    cell_size_factor: float = 1.0
+    # Per-cell neighbor-table occupancy cap. The reference hard-codes 64
+    # particles per (2h)^2 cell and silently drops overflow by atomic race
+    # (fluid_kernels.metal:60,237-240); 16 per h^2 cell is the identical
+    # density contract, applied deterministically (first K in cell order).
+    max_per_cell: int = constants.MAX_PER_CELL // 4
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,66 @@
+"""Multi-chip execution: particle-axis sharding over a device mesh.
+
+The reference is strictly single-process / single-GPU (SURVEY.md §2
+"parallelism checklist" — no NCCL/MPI/multi-node anywhere), so this layer has
+no reference counterpart: it is the TPU-native scale-out design.
+
+Strategy (v1): 1-D mesh over the entity axis. Every per-entity array of
+``SimState`` is sharded on its leading axis with ``NamedSharding(P("data"))``;
+scalars and the warm-start cache are replicated. The tick function itself is
+unchanged — GSPMD propagates the shardings through elementwise systems
+(embarrassingly parallel), inserts all-gathers for the O(N^2) gravity tiles
+and the SPH neighbor sort, and all-reduces for solver scatter sums. This is
+the "annotate and let XLA insert collectives" recipe; hand-tuned
+``shard_map`` + ``ppermute`` halo exchange for SPH cells is the planned
+next refinement.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..scene import Scene
+from ..state import SimState
+from ..systems import build_tick_fn
+
+AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def state_shardings(mesh: Mesh, state: SimState):
+    """Per-leaf shardings: leading entity axis sharded, scalars replicated."""
+    entity_n = state.bodies.pos.shape[0]
+    sharded = NamedSharding(mesh, P(AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    def spec(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == entity_n:
+            return sharded
+        return replicated
+
+    bodies = jax.tree.map(spec, state.bodies)
+    scalars = {f.name: replicated for f in dataclasses.fields(SimState)
+               if f.name != "bodies"}
+    return SimState(bodies=bodies, **scalars)
+
+
+def shard_state(mesh: Mesh, state: SimState) -> SimState:
+    sh = state_shardings(mesh, state)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
+
+
+def build_sharded_tick(scene: Scene, mesh: Mesh, donate: bool = False):
+    """Jitted tick with explicit input/output shardings over ``mesh``."""
+    tick = build_tick_fn(scene.spec, scene.cfg, jit=False)
+    sh = state_shardings(mesh, scene.state)
+    return jax.jit(tick, in_shardings=(sh,), out_shardings=sh,
+                   donate_argnums=(0,) if donate else ())

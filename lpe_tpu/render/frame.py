@@ -1,0 +1,177 @@
+"""On-device frame rendering: RGB frames as jitted functions of SimState.
+
+The reference renders with SFML + two Metal round-trips per frame (density
+splat -> blur -> CPU max reduce -> normalize -> fragment pass -> texture
+readback -> BGRA swizzle; reference: src/renderers/fluid_renderer.cpp:330-556,
+presentation_manager.cpp:113-137). Here the entire frame is one XLA program
+producing a uint8 [H, W, 3] array on device — the host only ever sees the
+finished frame (and only if it asks).
+
+Pipeline parity:
+- fluid: unnormalized poly6 splat with smoothing radius 10 px
+  (fluid_renderer.cpp:388, kernels.metal:40-76), two 5x5 edge-aware box
+  blurs (kernels.metal:82-113), max-normalize (on device — the reference's
+  CPU scan of 600x600 floats disappears), smoothstep threshold 0.19 +/- 0.02,
+  base color RGBA(40,130,240) premultiplied (fluid_renderer.cpp:486-495).
+- solids: filled convex polygons / circles in pixel space with per-entity
+  color and the DEFAULT/SLEEP color schemes (solid_renderer.cpp:22-149,
+  presentation_manager.cpp:34-48).
+- gas: circles at alpha 180 (gas_renderer.cpp:15-44).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ScenarioSystemConfig
+from ..core.constants import MAX_POLY_VERTS, Phase, ShapeKind
+from ..scene import SceneSpec
+from ..state import SimState
+
+FLUID_BASE_COLOR = (40.0, 130.0, 240.0)
+FLUID_THRESHOLD = 0.19
+FLUID_SMOOTHNESS = 0.02
+FLUID_SMOOTH_RADIUS_PX = 10.0
+
+SCHEME_DEFAULT = 0
+SCHEME_SLEEP = 1
+SCHEME_TEMPERATURE = 2
+
+
+def _box_blur5(img):
+    """5x5 box blur with boundary-count normalization (kernels.metal:82-113)."""
+    ones = jnp.ones_like(img)
+    k = ((0, 0),)
+
+    def rw(x):
+        return jax.lax.reduce_window(x, 0.0, jax.lax.add, (5, 5), (1, 1),
+                                     "SAME")
+
+    return rw(img) / rw(ones)
+
+
+def _fluid_layer(state, spec, H, W, mpp):
+    """Density splat -> blur x2 -> normalize -> smoothstep alpha. [H,W] f32."""
+    L0, NL = spec.liquid_start, spec.n_liquid
+    pos = state.bodies.pos[L0:L0 + NL] / mpp            # pixel coords
+    h = FLUID_SMOOTH_RADIUS_PX
+    h2 = h * h
+    R = int(h) + 1
+    win = 2 * R + 1
+    ox = jnp.floor(pos[:, 0]).astype(jnp.int32) - R
+    oy = jnp.floor(pos[:, 1]).astype(jnp.int32) - R
+    d = jnp.arange(win)
+    gx = ox[:, None] + d[None, :]                        # [NL, win]
+    gy = oy[:, None] + d[None, :]
+    cx = gx.astype(pos.dtype) + 0.5
+    cy = gy.astype(pos.dtype) + 0.5
+    dx = cx[:, None, :] - pos[:, 0, None, None]          # [NL, 1, win] x-term
+    dy = cy[:, :, None] - pos[:, 1, None, None]          # [NL, win, 1] y-term
+    r2 = dx * dx + dy * dy
+    w = jnp.where(r2 < h2, (h2 - r2) ** 3, 0.0)          # unnormalized poly6
+    # scatter-add patches into the flat grid; OOB indices are dropped
+    fy = gy[:, :, None]
+    fx = gx[:, None, :]
+    ok = (fx >= 0) & (fx < W) & (fy >= 0) & (fy < H)
+    flat_idx = jnp.where(ok, fy * W + fx, H * W)
+    grid = jnp.zeros((H * W + 1,), pos.dtype)
+    grid = grid.at[flat_idx.reshape(-1)].add(w.reshape(-1), mode="drop")
+    img = grid[:H * W].reshape(H, W)
+    img = _box_blur5(_box_blur5(img))
+    max_d = jnp.max(img)
+    img = jnp.where(max_d > 1e-12, img / jnp.maximum(max_d, 1e-12), 0.0)
+    lo = FLUID_THRESHOLD - FLUID_SMOOTHNESS
+    hi = FLUID_THRESHOLD + FLUID_SMOOTHNESS
+    t = jnp.clip((img - lo) / (hi - lo), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)                       # smoothstep alpha
+
+
+def _shape_masks(state, spec, idx0, count, H, W, mpp, chunk=8):
+    """Rasterize shapes [idx0:idx0+count] -> per-pixel (covered, color).
+
+    Scans shapes in chunks under fori_loop; later shapes paint over earlier
+    ones (painter's order, same as the reference draw loop).
+    """
+    b = state.bodies
+    ypix = (jnp.arange(H, dtype=b.pos.dtype) + 0.5)[:, None]
+    xpix = (jnp.arange(W, dtype=b.pos.dtype) + 0.5)[None, :]
+
+    def raster_one(i, canvas):
+        color_img, alpha_img = canvas
+        k = idx0 + i
+        px = b.pos[k, 0] / mpp
+        py = b.pos[k, 1] / mpp
+        dx = xpix - px
+        dy = ypix - py
+        is_circle = b.shape_kind[k] == int(ShapeKind.CIRCLE)
+        rpx = jnp.maximum(b.radius[k] / mpp, 1.0)
+        in_circle = dx * dx + dy * dy <= rpx * rpx
+        # convex polygon: inside iff left of every (CCW screen-coords) edge
+        c, s = jnp.cos(b.angle[k]), jnp.sin(b.angle[k])
+        v = b.verts[k]                                  # [V,2] meters, local
+        wx = (b.pos[k, 0] + v[:, 0] * c - v[:, 1] * s) / mpp
+        wy = (b.pos[k, 1] + v[:, 0] * s + v[:, 1] * c) / mpp
+        nv = b.nverts[k]
+        vi = jnp.arange(MAX_POLY_VERTS)
+        nxt = jnp.where(vi + 1 >= nv, 0, vi + 1)
+        ex = wx[nxt] - wx
+        ey = wy[nxt] - wy
+        # cross(edge, p - v_i) sign test per edge, only valid edges count
+        crossv = (ex[:, None, None] * (ypix - wy[:, None, None]) -
+                  ey[:, None, None] * (xpix - wx[:, None, None]))
+        vmask = (vi < nv)[:, None, None]
+        all_pos = jnp.where(vmask, crossv >= 0, True).all(0)
+        all_neg = jnp.where(vmask, crossv <= 0, True).all(0)
+        in_poly = (all_pos | all_neg) & (nv >= 3)
+        inside = jnp.where(is_circle, in_circle, in_poly) & b.active[k]
+        col = b.color[k].astype(jnp.float32)
+        color_img = jnp.where(inside[:, :, None], col[None, None, :],
+                              color_img)
+        alpha_img = jnp.where(inside, 1.0, alpha_img)
+        return color_img, alpha_img
+
+    color0 = jnp.zeros((H, W, 3), jnp.float32)
+    alpha0 = jnp.zeros((H, W), jnp.float32)
+    if count == 0:
+        return color0, alpha0
+    return jax.lax.fori_loop(0, count, raster_one, (color0, alpha0))
+
+
+def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
+                  width: int = 600, height: int = 600,
+                  color_scheme: int = SCHEME_DEFAULT, jit: bool = True):
+    mpp = cfg.shared.meters_per_pixel * (600.0 / width)
+    H, W = height, width
+
+    def frame(state: SimState) -> jax.Array:
+        b = state.bodies
+        img = jnp.zeros((H, W, 3), jnp.float32)
+        # fluid underlay
+        if spec.n_liquid > 0:
+            alpha = _fluid_layer(state, spec, H, W, mpp)
+            base = jnp.array(FLUID_BASE_COLOR, jnp.float32)
+            img = img * (1 - alpha[:, :, None]) + base * alpha[:, :, None]
+        # color-scheme recolor (SLEEP paints asleep red / awake green,
+        # presentation_manager.cpp:37-40) applied via state copy
+        st = state
+        if color_scheme == SCHEME_SLEEP:
+            asleep = b.asleep[:, None]
+            col = jnp.where(asleep, jnp.array([200, 50, 50], jnp.uint8),
+                            jnp.array([50, 200, 50], jnp.uint8))
+            st = state.replace(bodies=b.replace(
+                color=jnp.where(b.has_sleep[:, None], col, b.color)))
+        # solids
+        scol, salpha = _shape_masks(st, spec, spec.solid_start, spec.n_solid,
+                                    H, W, mpp)
+        img = jnp.where(salpha[:, :, None] > 0, scol, img)
+        # gas (alpha 180/255)
+        if spec.n_gas > 0:
+            gcol, galpha = _shape_masks(st, spec, spec.gas_start, spec.n_gas,
+                                        H, W, mpp)
+            ga = galpha[:, :, None] * (180.0 / 255.0)
+            img = img * (1 - ga) + gcol * ga
+        return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+    return jax.jit(frame) if jit else frame

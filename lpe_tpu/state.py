@@ -89,10 +89,14 @@ class SimState:
     base_time_accel: jax.Array     # scalar float
     tick: jax.Array                # scalar int32
     # Warm-start impulse cache for the rigid solver, keyed by candidate-pair
-    # slot. Zeros unless RigidBodyConfig.warm_start (the reference's cache is
-    # reset every tick, rigid_body_collision.cpp:40).
+    # slot and validated against the pair's entity ids (the reference's
+    # ContactManager matches manifolds by entity pair + point position,
+    # contact_manager.cpp:164-248, but is recreated every tick and thus
+    # inert, rigid_body_collision.cpp:40).
     warm_normal: jax.Array         # [max_pairs, max_contacts] float
     warm_tangent: jax.Array        # [max_pairs, max_contacts] float
+    warm_ia: jax.Array             # [max_pairs] int32 (-1 = empty slot)
+    warm_ib: jax.Array             # [max_pairs] int32
 
 
 def zero_bodies(n: int, dtype=jnp.float32) -> Bodies:
@@ -124,6 +128,8 @@ def make_state(bodies: Bodies, max_pairs: int = 1, max_contacts: int = 8,
         tick=jnp.asarray(0, jnp.int32),
         warm_normal=jnp.zeros((max_pairs, max_contacts), dtype),
         warm_tangent=jnp.zeros((max_pairs, max_contacts), dtype),
+        warm_ia=jnp.full((max_pairs,), -1, jnp.int32),
+        warm_ib=jnp.full((max_pairs,), -1, jnp.int32),
     )
 
 

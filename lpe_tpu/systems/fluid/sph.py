@@ -8,13 +8,16 @@ TPU-native rebuild of the reference's 9 Metal kernels
 - The reference performs 10 sub-steps/tick with **2 GPU syncs each** (20 per
   tick) because the grid is resized on the CPU from a GPU bbox reduction.
   Here the entire multi-substep update is one fused XLA program under the
-  tick jit: the grid is *static* (cell = 2h, h is a per-scenario constant —
-  the reference itself assigns every particle ``h = config.smoothingLength``,
+  tick jit: the grid is *static* (h is a per-scenario constant — the
+  reference itself assigns every particle ``h = config.smoothingLength``,
   fluid.cpp:293 — so the dynamic rescale never actually changes anything).
-- The atomic per-cell index tables (``GPU_MAX_PER_CELL = 64``, metal:60)
-  become a deterministic counting sort (argsort by cell id + searchsorted
-  boundaries); the same 64-per-cell occupancy cap is applied, but
-  deterministically (first 64 in sorted order) instead of by atomic race.
+  Cells are h wide (not the reference's 2h): a 3x3 scan of h-cells covers
+  the full r < h kernel support exactly, with 4x fewer pair slots.
+- The atomic per-cell index tables (``GPU_MAX_PER_CELL = 64`` per (2h)^2
+  cell, metal:60) become a deterministic counting sort (argsort by cell id +
+  searchsorted boundaries); the identical occupancy-density cap (16 per h^2
+  cell) is applied deterministically (first K in sorted order) instead of by
+  atomic race.
 - Atomic float force accumulation onto rigids (metal:892-898) becomes a
   deterministic masked sum.
 
@@ -32,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.config import ScenarioSystemConfig
-from ...core.constants import MAX_PER_CELL, MAX_POLY_VERTS, ShapeKind
+from ...core.constants import MAX_POLY_VERTS, ShapeKind
 from ...scene import SceneSpec
 from ...state import SimState
 
@@ -144,7 +147,10 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     L0 = spec.liquid_start
     NR = L0                       # solids + gas precede liquids in layout
     h = fc.grid.smoothing_length
-    cell = 2.0 * h
+    if fc.grid.cell_size_factor < 1.0:
+        raise ValueError("cell_size_factor must be >= 1.0 (3x3 scan needs "
+                         "cells at least h wide to cover the r<h support)")
+    cell = fc.grid.cell_size_factor * h
     size = cfg.shared.universe_size_m
     # static grid: universe plus a 2-cell apron on each side
     gmin = -2
@@ -160,92 +166,155 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     SPIKY = spiky_coeff_2d(h)
     VISC = visc_laplacian_coeff_2d(h)
     nm = fc.numerical
-    K = MAX_PER_CELL
+    K = max(1, min(fc.grid.max_per_cell, NL))
 
     def cell_coords(x, y):
         gx = jnp.floor((x + eps) / cell).astype(jnp.int32) - gmin
         gy = jnp.floor((y + eps) / cell).astype(jnp.int32) - gmin
         return gx, gy
 
+    # ------------------------------------------------------------------
+    # Cell-dense neighbor structure (TPU-native).
+    #
+    # Instead of per-particle index gathers (the Metal kernels' access
+    # pattern, hostile to the VPU), particles are scattered once per substep
+    # into a dense [K, ny, nx] grid tensor; the 3x3-cell interaction becomes
+    # 9 shifted *slices* of that tensor and the pair computation a dense
+    # [K, K, ny, nx] elementwise+reduce — pure VPU work with no gathers in
+    # the inner loop. K = grid.max_per_cell keeps the reference's per-cell
+    # occupancy contract (deterministically: first K in sorted order).
+    #
+    # Layout note: the slot axis K is the *leading* (sublane-batched) axis
+    # and the x-cell axis is the trailing one, so VPU lanes run along x
+    # (nx ~ O(100-1000) >> K = 16); a trailing K axis would waste 7/8 of
+    # every 128-wide vector lane.
+    # ------------------------------------------------------------------
     def build_grid(x, y):
         gx, gy = cell_coords(x, y)
         ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
         cid = jnp.where(ok, gy * nx + gx, ncells)
         order = jnp.argsort(cid)
         sc = cid[order]
-        bins = jnp.arange(ncells)
-        start = jnp.searchsorted(sc, bins, side="left")
-        end = jnp.searchsorted(sc, bins, side="right")
-        cnt = jnp.minimum(end - start, K)
-        return dict(order=order, start=start, cnt=cnt, gx=gx, gy=gy, ok=ok)
+        start = jnp.searchsorted(sc, jnp.arange(ncells + 1), side="left")
+        rank = jnp.arange(NL) - start[jnp.clip(sc, 0, ncells)]
+        valid = (sc < ncells) & (rank < K)
+        # slot layout [K, ncells]: rank-major so lanes run along cells
+        slot = jnp.where(valid, rank * ncells + sc, ncells * K)
+        pvalid = jnp.zeros((NL,), bool).at[order].set(valid)
+        return dict(order=order, slot=slot, valid=valid, pvalid=pvalid,
+                    cid=cid)
 
-    karange = jnp.arange(K)
+    def to_dense(grid, fields: dict):
+        """Scatter per-particle fields into padded dense grids
+        [K, ny+2, nx+2] (1-cell zero apron for neighbor slicing). One scatter
+        per field — benchmarked faster than packing the field axis into a
+        single scatter payload on TPU."""
+        out = {}
+        for name, field in fields.items():
+            flat = jnp.zeros((ncells * K + 1,), field.dtype)
+            flat = flat.at[grid["slot"]].set(field[grid["order"]],
+                                             mode="drop")
+            d = flat[:ncells * K].reshape(K, ny, nx)
+            out[name] = jnp.pad(d, ((0, 0), (1, 1), (1, 1)))
+        return out
 
-    def neighbor_sum(grid, per_neighbor):
-        """Sum ``per_neighbor(j, pair_mask)`` over the 3x3 cell neighborhood.
+    def from_dense(grid, dense_padded_list):
+        """Read back per-particle values from padded dense grids."""
+        outs = []
+        for dense_padded in dense_padded_list:
+            flat = dense_padded[:, 1:-1, 1:-1].reshape(ncells * K)
+            vals = flat[jnp.clip(grid["slot"], 0, ncells * K - 1)]
+            vals = jnp.where(grid["valid"], vals, 0.0)
+            out = jnp.zeros((NL,), vals.dtype)
+            outs.append(out.at[grid["order"]].set(vals))
+        return outs
 
-        ``per_neighbor`` gets neighbor indices j [NL,K] and mask and returns a
-        pytree of [NL, ...] partial sums. reference: metal:272-298.
-        """
-        total = None
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                cx = grid["gx"] + dx
-                cy = grid["gy"] + dy
-                okc = grid["ok"] & (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
-                nc = jnp.where(okc, cy * nx + cx, 0)
-                st = grid["start"][nc]
-                ct = jnp.where(okc, grid["cnt"][nc], 0)
-                idx = st[:, None] + karange[None, :]
-                mask = karange[None, :] < ct[:, None]
-                j = grid["order"][jnp.clip(idx, 0, max(NL - 1, 0))]
-                part = per_neighbor(j, mask)
-                total = part if total is None else jax.tree.map(
-                    jnp.add, total, part)
-        return total
+    def _offsets(grids, fn, init):
+        """Accumulate fn over the 9 neighbor offsets of padded dense grids."""
+        acc = init
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                nbr = {k: jax.lax.slice(
+                    v, (0, dy, dx), (v.shape[0], dy + ny, dx + nx))
+                    for k, v in grids.items()}
+                acc = fn(acc, nbr, dy == 1 and dx == 1)
+        return acc
+
+    # pair broadcasting: center slot k1 -> axis 0, neighbor slot k2 -> axis 1
+    def _ctr(v):       # [K, ny, nx] -> [K, 1, ny, nx]
+        return v[:, None]
+
+    def _nbr(v):       # [K, ny, nx] -> [1, K, ny, nx]
+        return v[None, :]
 
     def density_pass(x, y, mass, grid):
         h2 = h * h
+        D = to_dense(grid, dict(x=x, y=y, m=mass, occ=jnp.ones_like(x)))
+        ctr = lambda v: v[:, 1:-1, 1:-1]
+        sx, sy, socc = ctr(D["x"]), ctr(D["y"]), ctr(D["occ"])
 
-        def pn(j, mask):
-            dx = x[:, None] - x[j]
-            dy = y[:, None] - y[j]
-            r2 = dx * dx + dy * dy
-            w = jnp.where(mask & (r2 < h2), POLY6 * (h2 - r2) ** 3, 0.0)
-            return (mass[j] * w).sum(1)
+        def step_fn(rho, nbr, _is_center):
+            ddx = _ctr(sx) - _nbr(nbr["x"])
+            ddy = _ctr(sy) - _nbr(nbr["y"])
+            r2 = ddx * ddx + ddy * ddy
+            pair_ok = (_ctr(socc) * _nbr(nbr["occ"])) > 0
+            w = jnp.where(pair_ok & (r2 < h2), POLY6 * (h2 - r2) ** 3, 0.0)
+            return rho + (_nbr(nbr["m"]) * w).sum(1)
 
-        rho = neighbor_sum(grid, pn)
+        rho_dense = _offsets(D, step_fn, jnp.zeros_like(ctr(D["x"])))
+        (rho,) = from_dense(grid, [jnp.pad(rho_dense,
+                                           ((0, 0), (1, 1), (1, 1)))])
+        # overflow particles (rank >= K) at least see themselves, as in the
+        # reference where every particle self-contributes (metal:284-295)
+        rho = jnp.where(grid["pvalid"], rho, mass * POLY6 * h2 ** 3)
         pres = jnp.maximum(fc.stiffness * (rho - fc.rest_density), 0.0)
         return rho, pres
 
     def force_pass(x, y, vx, vy, mass, rho, pres, grid):
         h2 = h * h
-        me = jnp.arange(NL)
+        D = to_dense(grid, dict(
+            x=x, y=y, vx=vx, vy=vy, m=mass, rho=rho, p=pres,
+            occ=jnp.ones_like(x)))
+        ctr = lambda v: v[:, 1:-1, 1:-1]
+        sx, sy = ctr(D["x"]), ctr(D["y"])
+        svx, svy = ctr(D["vx"]), ctr(D["vy"])
+        srho, sp = ctr(D["rho"]), ctr(D["p"])
+        socc = ctr(D["occ"])
+        kk = jnp.arange(K)
+        diag = (kk[:, None] == kk[None, :])[:, :, None, None]
 
-        def pn(j, mask):
-            dx = x[:, None] - x[j]
-            dy = y[:, None] - y[j]
-            r2 = dx * dx + dy * dy
-            ok = mask & (j != me[:, None]) & (r2 >= nm.min_distance_threshold) \
-                & (r2 < h2) \
-                & (rho[j] >= nm.min_density_threshold) \
-                & (rho[:, None] >= nm.min_density_threshold)
+        def step_fn(acc, nbr, is_center):
+            fx_a, fy_a = acc
+            ddx = _ctr(sx) - _nbr(nbr["x"])
+            ddy = _ctr(sy) - _nbr(nbr["y"])
+            r2 = ddx * ddx + ddy * ddy
+            ok = (_ctr(socc) * _nbr(nbr["occ"])) > 0
+            if is_center:
+                ok = ok & ~diag
+            ok = ok & (r2 >= nm.min_distance_threshold) & (r2 < h2) \
+                & (_nbr(nbr["rho"]) >= nm.min_density_threshold) \
+                & (_ctr(srho) >= nm.min_density_threshold)
             r = jnp.sqrt(jnp.maximum(r2, 1e-30))
-            term = pres[:, None] / jnp.maximum(rho[:, None] ** 2, 1e-30) + \
-                pres[j] / jnp.maximum(rho[j] ** 2, 1e-30)
+            term = _ctr(sp) / jnp.maximum(_ctr(srho) ** 2, 1e-30) \
+                + _nbr(nbr["p"]) / jnp.maximum(_nbr(nbr["rho"]) ** 2, 1e-30)
             w_spiky = SPIKY * (h - r) ** 2
-            f_press = -mass[j] * term * w_spiky
-            fx = f_press * dx / r
-            fy = f_press * dy / r
+            f_press = -_nbr(nbr["m"]) * term * w_spiky
+            fx = f_press * ddx / r
+            fy = f_press * ddy / r
             w_visc = VISC * (h - r)
-            f_visc = fc.viscosity * mass[j] * (w_visc / jnp.maximum(rho[j], 1e-30))
-            fx = fx - f_visc * (vx[:, None] - vx[j])
-            fy = fy - f_visc * (vy[:, None] - vy[j])
+            f_visc = fc.viscosity * _nbr(nbr["m"]) * (
+                w_visc / jnp.maximum(_nbr(nbr["rho"]), 1e-30))
+            fx = fx - f_visc * (_ctr(svx) - _nbr(nbr["vx"]))
+            fy = fy - f_visc * (_ctr(svy) - _nbr(nbr["vy"]))
             fx = jnp.where(ok, fx, 0.0)
             fy = jnp.where(ok, fy, 0.0)
-            return fx.sum(1), fy.sum(1)
+            return fx_a + fx.sum(1), fy_a + fy.sum(1)
 
-        return neighbor_sum(grid, pn)
+        z = jnp.zeros_like(sx)
+        fx_d, fy_d = _offsets(D, step_fn, (z, z))
+        pad = lambda v: jnp.pad(v, ((0, 0), (1, 1), (1, 1)))
+        fx_p, fy_p = from_dense(grid, [pad(fx_d), pad(fy_d)])
+        return fx_p, fy_p
 
     # ------------------------------------------------------------------
     # Rigid-fluid coupling (dense [NL, NR] — NR is small in all scenarios)

@@ -188,10 +188,18 @@ def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
 
     poly = jnp.zeros((cap, 2), dtype).at[:3].set(tri)
     st0 = dict(poly=poly, count=jnp.int32(3), done=degenerate,
-               valid=jnp.bool_(False),
+               started=jnp.bool_(False),
                normal=jnp.zeros(2, dtype), pen=jnp.zeros((), dtype))
 
     idx = jnp.arange(cap)
+    # Convergence threshold must respect the dtype's noise floor: for smooth
+    # (circle) Minkowski boundaries d-closest shrinks geometrically but
+    # bottoms out at ~eps(dtype)*scale, so the reference's absolute 1e-9
+    # (constants.cpp:9) is unreachable in float32. The reference runs up to
+    # 100 iterations and still uses its best estimate when the cap trips
+    # (epa.cpp:58-118); we mirror that by always keeping the latest
+    # closest-edge estimate.
+    eps = max(EPSILON, 32 * float(jnp.finfo(dtype).eps))
 
     def body(_, st):
         active = ~st["done"]
@@ -211,7 +219,7 @@ def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
 
         sp = support_minkowski(sa, sb, en)
         d = _dot2(sp, en)
-        converged = (d - closest) < EPSILON
+        converged = (d - closest) < eps * jnp.maximum(1.0, d)
 
         # insert sp at position k = (j+1) % count
         k = jnp.where(j + 1 >= count, 0, j + 1)
@@ -220,18 +228,19 @@ def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
                                       p[jnp.maximum(idx - 1, 0)]))
         cap_hit = count >= cap
 
-        new_done = active & (converged | cap_hit)
         return dict(
             poly=jnp.where(active & ~converged & ~cap_hit, shifted, p),
             count=jnp.where(active & ~converged & ~cap_hit, count + 1, count),
-            done=st["done"] | new_done,
-            valid=jnp.where(active & converged, True, st["valid"]),
-            normal=jnp.where(active & converged, en, st["normal"]),
-            pen=jnp.where(active & converged, d, st["pen"]),
+            done=st["done"] | (active & (converged | cap_hit)),
+            started=st["started"] | active,
+            # best-so-far estimate: d upper-bounds the true penetration and
+            # tightens every iteration (reference returns d, epa.cpp:103-107)
+            normal=jnp.where(active, en, st["normal"]),
+            pen=jnp.where(active, d, st["pen"]),
         )
 
     st = jax.lax.fori_loop(0, iters, body, st0)
-    return st["valid"] & ~degenerate, st["normal"], st["pen"]
+    return st["started"] & ~degenerate, st["normal"], st["pen"]
 
 
 # ---------------------------------------------------------------------------

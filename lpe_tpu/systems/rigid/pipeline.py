@@ -128,6 +128,22 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         evalid, nrm, pen = jax.vmap(
             lambda a_, b_, s_: geo.epa(a_, b_, s_, rc.epa_iterations))(
                 sa, sb, simplex)
+        # Circle-circle pairs have a closed form (exact where iterative EPA
+        # is only ~1e-3 accurate in f32 on smooth boundaries); the reference
+        # runs GJK/EPA even for circles (narrowphase.cpp:352-420) but the
+        # contact itself is the same analytic point.
+        both_circ = sa["is_circle"] & sb["is_circle"]
+        dcc = sb["pos"] - sa["pos"]
+        dlen = jnp.sqrt((dcc * dcc).sum(-1))
+        rsum = sa["radius"] + sb["radius"]
+        ncc = dcc / jnp.maximum(dlen, 1e-12)[:, None]
+        ncc = jnp.where((dlen > 1e-12)[:, None], ncc,
+                        jnp.broadcast_to(jnp.array([1.0, 0.0], dcc.dtype),
+                                         ncc.shape))
+        hit = jnp.where(both_circ, dlen < rsum, hit)
+        evalid = jnp.where(both_circ, dlen < rsum, evalid)
+        nrm = jnp.where(both_circ[:, None], ncc, nrm)
+        pen = jnp.where(both_circ, rsum - dlen, pen)
         coll = pvalid & hit & evalid
         pts, pens, cvalid = jax.vmap(
             lambda a_, b_, n_, p_: _pair_contacts(a_, b_, n_, p_, C))(
@@ -146,8 +162,13 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         inv_i = jnp.where((inertia > 1e-12) & (inertia < 1e29),
                           1.0 / jnp.maximum(inertia, 1e-30), 0.0)
         if rc.warm_start:
-            ln0 = state.warm_normal[:MAX_PAIRS].reshape(-1)
-            lt0 = state.warm_tangent[:MAX_PAIRS].reshape(-1)
+            # only reuse impulses if this slot still holds the same pair
+            same = (state.warm_ia[:MAX_PAIRS] == ia) & \
+                   (state.warm_ib[:MAX_PAIRS] == ib)
+            ln0 = jnp.where(same[:, None],
+                            state.warm_normal[:MAX_PAIRS], 0.0).reshape(-1)
+            lt0 = jnp.where(same[:, None],
+                            state.warm_tangent[:MAX_PAIRS], 0.0).reshape(-1)
         else:
             ln0 = jnp.zeros_like(pen_r)
             lt0 = jnp.zeros_like(pen_r)
@@ -170,7 +191,11 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                 warm_normal=state.warm_normal.at[:MAX_PAIRS].set(
                     ln.reshape(MAX_PAIRS, C)),
                 warm_tangent=state.warm_tangent.at[:MAX_PAIRS].set(
-                    lt.reshape(MAX_PAIRS, C)))
+                    lt.reshape(MAX_PAIRS, C)),
+                warm_ia=state.warm_ia.at[:MAX_PAIRS].set(
+                    jnp.where(pvalid, ia, -1).astype(jnp.int32)),
+                warm_ib=state.warm_ib.at[:MAX_PAIRS].set(
+                    jnp.where(pvalid, ib, -1).astype(jnp.int32)))
         return st
 
     return step

@@ -78,6 +78,14 @@ def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
     relax = cfg.relaxation
     mu = cfg.friction_coeff
 
+    # Warm start: cached impulses must be applied up front so the clamp
+    # accumulators (which start at lam_*0) stay consistent with what the
+    # velocities have actually received.
+    vel, omega = apply(vel, omega, jnp.where(valid, lam_n0, 0.0), nrm)
+    vel, omega = apply(vel, omega, jnp.where(valid, lam_t0, 0.0), tan)
+    lam_n0 = jnp.where(valid, lam_n0, 0.0)
+    lam_t0 = jnp.where(valid, lam_t0, 0.0)
+
     def body(_, carry):
         v, w, ln, lt = carry
         # normal sweep

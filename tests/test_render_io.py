@@ -1,0 +1,156 @@
+"""Renderer, checkpoint, CLI, and oracle cross-check tests."""
+import os
+
+import numpy as np
+import pytest
+
+from lpe_tpu.core.constants import SimulationType as ST
+from lpe_tpu.render import SCHEME_SLEEP, make_renderer
+from lpe_tpu.scenarios import create_scenario
+
+
+def test_renderer_shapes_and_determinism():
+    sc = create_scenario(ST.SIMPLE_FLUID, seed=0)
+    r = make_renderer(sc.spec, sc.cfg)
+    f1 = np.asarray(r(sc.state))
+    f2 = np.asarray(r(sc.state))
+    assert f1.shape == (600, 600, 3) and f1.dtype == np.uint8
+    assert (f1 == f2).all()
+    # fluid base color appears in the tank region
+    blue = (f1[:, :, 2] > 200) & (f1[:, :, 0] < 100)
+    assert blue.mean() > 0.02
+
+
+def test_sleep_color_scheme():
+    sc = create_scenario(ST.RANDOM_POLYGONS, seed=0)
+    r = make_renderer(sc.spec, sc.cfg, color_scheme=SCHEME_SLEEP)
+    f = np.asarray(r(sc.state))
+    # awake bodies green (50,200,50); asleep walls red (200,50,50)
+    green = (f[:, :, 1] == 200) & (f[:, :, 0] == 50)
+    red = (f[:, :, 0] == 200) & (f[:, :, 1] == 50)
+    assert green.any() and red.any()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from lpe_tpu.io.checkpoint import load_state, save_state
+    from lpe_tpu.systems import build_tick_fn
+    sc = create_scenario(ST.RANDOM_POLYGONS, seed=0)
+    tick = build_tick_fn(sc.spec, sc.cfg, donate=False)
+    s = tick(sc.state)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, s)
+    s2 = load_state(path)
+    assert (np.asarray(s.bodies.pos) == np.asarray(s2.bodies.pos)).all()
+    assert int(s2.tick) == 1
+    # resumed state continues identically
+    a = tick(s)
+    b = tick(s2)
+    assert (np.asarray(a.bodies.pos) == np.asarray(b.bodies.pos)).all()
+
+
+def test_cli_run_png_and_checkpoint(tmp_path):
+    from lpe_tpu.app.cli import main
+    png = str(tmp_path / "f.png")
+    ck = str(tmp_path / "s.npz")
+    rc = main(["run", "--scenario", "RANDOM_POLYGONS", "--ticks", "3",
+               "--png", png, "--checkpoint", ck])
+    assert rc == 0
+    assert os.path.getsize(png) > 1000
+    assert os.path.exists(ck)
+
+
+def test_cli_list():
+    from lpe_tpu.app.cli import main
+    assert main(["list"]) == 0
+
+
+def _drop_scene(n_side=18, spacing=0.035, mass=3.5e-4, vswirl=0.2, seed=0):
+    """A wall-free blob of fluid in mid-air with a gentle swirl: exercises
+    density/EOS/pressure/viscosity/integration without wall coupling (which
+    the pure-SPH oracle deliberately does not model)."""
+    from lpe_tpu.core.config import ScenarioSystemConfig, SharedSystemConfig
+    from lpe_tpu.core.constants import Phase
+    from lpe_tpu.scene import SceneBuilder
+    rng = np.random.default_rng(seed)
+    cfg = ScenarioSystemConfig(shared=SharedSystemConfig(universe_size_m=6.0))
+    b = SceneBuilder("drop")
+    c = 3.0
+    for i in range(n_side):
+        for j in range(n_side):
+            x = c + (i - n_side / 2) * spacing + rng.uniform(-.1, .1) * spacing
+            y = c + (j - n_side / 2) * spacing + rng.uniform(-.1, .1) * spacing
+            b.add(pos=(x, y), mass=mass, phase=int(Phase.LIQUID),
+                  vel=(-vswirl * (y - c), vswirl * (x - c)), radius=0.01)
+    return b.finalize(cfg)
+
+
+def test_fluid_matches_numpy_oracle():
+    """XLA fluid tick vs the independent float64 oracle (same scene, same
+    tick structure: SPH substeps + boundary + uniform gravity)."""
+    from lpe_tpu.oracle.sph_numpy import SphOracle
+    from lpe_tpu.systems import build_tick_fn
+    sc = _drop_scene()
+    tick = build_tick_fn(sc.spec, sc.cfg, donate=False)
+    liq = sc.spec.liquid_slice
+    pos = np.asarray(sc.state.bodies.pos)[liq].astype(np.float64)
+    vel = np.asarray(sc.state.bodies.vel)[liq].astype(np.float64)
+    mass = np.asarray(sc.state.bodies.mass)[liq].astype(np.float64)
+    fc = sc.cfg.fluid
+    o = SphOracle(h=fc.grid.smoothing_length, rest_density=fc.rest_density,
+                  stiffness=fc.stiffness, viscosity=fc.viscosity,
+                  gravity=sc.cfg.gravity.gravitational_acceleration,
+                  universe=sc.cfg.shared.universe_size_m,
+                  margin=sc.cfg.boundary.margin_pixels
+                  * sc.cfg.shared.meters_per_pixel)
+    s = sc.state
+    for _ in range(3):
+        s = tick(s)
+        pos, vel, rho, _ = o.tick(pos, vel, mass)
+    pj = np.asarray(s.bodies.pos)[liq]
+    assert np.abs(pj - pos).max() < 5e-4
+    rj = np.asarray(s.bodies.density)[liq]
+    assert np.abs(rj - rho).max() / rho.max() < 1e-3
+
+
+def test_native_engine_matches_numpy_oracle():
+    """The C++ reference engine (native/sph_ref.cpp) against the NumPy oracle
+    on the same scene — two independent implementations of the same math."""
+    pytest.importorskip("ctypes")
+    from lpe_tpu.oracle.sph_numpy import SphOracle
+    try:
+        from lpe_tpu.oracle.native import NativeSphOracle, NativeUnavailable
+        nat = NativeSphOracle()
+    except Exception:
+        pytest.skip("native engine unavailable (no compiler)")
+    sc = _drop_scene()
+    liq = sc.spec.liquid_slice
+    pos = np.asarray(sc.state.bodies.pos)[liq].astype(np.float64)
+    vel = np.asarray(sc.state.bodies.vel)[liq].astype(np.float64)
+    mass = np.asarray(sc.state.bodies.mass)[liq].astype(np.float64)
+    ref = SphOracle()
+    p2, v2 = pos.copy(), vel.copy()
+    for _ in range(3):
+        p2, v2, r2, _ = ref.tick(p2, v2, mass)
+    p1, v1, r1, _ = nat.run(pos, vel, mass, 3)
+    # both are float64 but sum pairs in different orders; divergence is
+    # rounding noise amplified by 30 substeps of dynamics
+    assert np.abs(p1 - p2).max() < 1e-5
+    assert np.abs(r1 - r2).max() < 1e-5
+
+
+def test_sim_manager_api_surface():
+    from lpe_tpu.app.sim_manager import SimManager
+    m = SimManager(ST.RANDOM_POLYGONS, seed=0)
+    m.tick(2)
+    assert int(m.state.tick) == 2
+    m.set_time_scale(0.5)
+    assert float(m.state.time_scale) == 0.5
+    m.reset_simulator()
+    assert int(m.state.tick) == 0
+    assert float(m.state.time_scale) == 0.5   # preserved across reset
+    m.toggle_pause()
+    assert m.paused
+    m.step_once()
+    stats = m.run(10)      # paused: runs exactly the single stepped tick
+    assert stats.ticks >= 1

@@ -1,0 +1,160 @@
+"""Contact solver behavior tests (reference: contact_solver.cpp, position_solver.cpp)."""
+import dataclasses
+
+import numpy as np
+
+from lpe_tpu.core.config import ScenarioSystemConfig, SharedSystemConfig
+from lpe_tpu.core.constants import Phase, ShapeKind
+from lpe_tpu.scene import SceneBuilder
+from lpe_tpu.systems.rigid import make_rigid
+
+
+def scene(entities, **shared_kw):
+    cfg = ScenarioSystemConfig(
+        shared=SharedSystemConfig(universe_size_m=6.0, **shared_kw))
+    b = SceneBuilder("t")
+    for e in entities:
+        b.add(**e)
+    return b.finalize(cfg)
+
+
+def rigid_step(sc):
+    """Jitted rigid step — eager (op-by-op) execution is far too slow for
+    multi-hundred-tick tests on the CPU backend."""
+    import jax
+    return jax.jit(make_rigid(sc.spec, sc.cfg))
+
+
+def test_head_on_circles_stop_approaching():
+    # Two equal circles moving into each other; after the velocity solve the
+    # normal relative velocity must be >= 0 (non-penetrating), momentum kept.
+    sc = scene([
+        dict(pos=(2.9, 3.0), vel=(1.0, 0.0), mass=1.0, radius=0.2,
+             shape_kind=int(ShapeKind.CIRCLE), inertia=0.02),
+        dict(pos=(3.1, 3.0), vel=(-1.0, 0.0), mass=1.0, radius=0.2,
+             shape_kind=int(ShapeKind.CIRCLE), inertia=0.02),
+    ])
+    step = rigid_step(sc)
+    s = step(sc.state)
+    v = np.asarray(s.bodies.vel)
+    rel = v[1, 0] - v[0, 0]
+    assert rel >= -1e-4                       # no longer approaching
+    assert np.isclose(v[0, 0] + v[1, 0], 0.0, atol=1e-5)  # momentum conserved
+    assert abs(v[0, 1]) < 1e-5                # symmetric, no lateral kick
+
+
+def test_infinite_mass_wall_immovable():
+    sc = scene([
+        dict(pos=(3.0, 5.0), vel=(0.0, 0.0), mass=1e30, boundary=True,
+             shape_kind=int(ShapeKind.POLYGON), radius=0.05,
+             verts=np.array([[-3, -0.05], [-3, 0.05], [3, 0.05], [3, -0.05]]),
+             has_sleep=True, asleep=True),
+        dict(pos=(3.0, 4.93), vel=(0.0, 1.0), mass=1.0, radius=0.05,
+             shape_kind=int(ShapeKind.CIRCLE), inertia=0.00125),
+    ])
+    step = rigid_step(sc)
+    s = step(sc.state)
+    v = np.asarray(s.bodies.vel)
+    p = np.asarray(s.bodies.pos)
+    assert np.allclose(v[0], 0.0)             # wall untouched
+    assert np.allclose(p[0], [3.0, 5.0])
+    assert v[1, 1] <= 1e-5                    # ball stopped or bounced
+
+
+def test_position_solver_separates_overlap():
+    # Deep static overlap, no velocities: repeated ticks should reduce
+    # penetration via Baumgarte push-out
+    sc = scene([
+        dict(pos=(3.0, 3.0), vel=(0.0, 0.0), mass=1.0, radius=0.2,
+             shape_kind=int(ShapeKind.CIRCLE), inertia=0.02),
+        dict(pos=(3.1, 3.0), vel=(0.0, 0.0), mass=1.0, radius=0.2,
+             shape_kind=int(ShapeKind.CIRCLE), inertia=0.02),
+    ])
+    step = rigid_step(sc)
+    s = sc.state
+    d0 = 0.1
+    for _ in range(60):
+        s = step(s)
+    p = np.asarray(s.bodies.pos)
+    d = np.linalg.norm(p[1] - p[0])
+    assert d > d0 + 0.05                      # clearly separating
+    # symmetric: both moved equally in opposite directions
+    assert np.isclose(p[0, 0] - 3.0, -(p[1, 0] - 3.1), atol=1e-4)
+
+
+def test_friction_opposes_tangential_slide():
+    # Circle sliding along a wall it presses into: friction must reduce
+    # tangential speed
+    sc = scene([
+        dict(pos=(3.0, 5.0), vel=(0.0, 0.0), mass=1e30, boundary=True,
+             shape_kind=int(ShapeKind.POLYGON), radius=0.05,
+             verts=np.array([[-3, -0.05], [-3, 0.05], [3, 0.05], [3, -0.05]]),
+             has_sleep=True, asleep=True),
+        dict(pos=(3.0, 4.93), vel=(2.0, 0.5), mass=1.0, radius=0.05,
+             shape_kind=int(ShapeKind.CIRCLE), inertia=0.00125),
+    ])
+    step = rigid_step(sc)
+    s = step(sc.state)
+    v = np.asarray(s.bodies.vel)
+    assert v[1, 0] < 2.0                      # tangential speed reduced
+    assert v[1, 0] > 0.0                      # but not reversed
+
+
+def test_no_contacts_is_identity():
+    sc = scene([
+        dict(pos=(1.0, 1.0), vel=(0.3, 0.4), mass=1.0, radius=0.1,
+             shape_kind=int(ShapeKind.CIRCLE), inertia=0.005),
+        dict(pos=(5.0, 5.0), vel=(-0.3, 0.4), mass=1.0, radius=0.1,
+             shape_kind=int(ShapeKind.CIRCLE), inertia=0.005),
+    ])
+    step = rigid_step(sc)
+    s = step(sc.state)
+    assert np.allclose(np.asarray(s.bodies.vel)[:2],
+                       [[0.3, 0.4], [-0.3, 0.4]])
+    assert np.allclose(np.asarray(s.bodies.pos)[:2],
+                       [[1, 1], [5, 5]])
+
+
+def test_stacking_stability():
+    # 5-box stack on a floor under gravity-like downward velocity injection:
+    # with the velocity+position solvers it must not explode or sink.
+    ents = [dict(pos=(3.0, 5.0), vel=(0.0, 0.0), mass=1e30, boundary=True,
+                 shape_kind=int(ShapeKind.POLYGON), radius=0.05,
+                 verts=np.array([[-3, -0.05], [-3, 0.05], [3, 0.05],
+                                 [3, -0.05]]),
+                 has_sleep=True, asleep=True)]
+    hw = 0.1
+    box = np.array([[-hw, -hw], [-hw, hw], [hw, hw], [hw, -hw]])
+    for i in range(5):
+        ents.append(dict(pos=(3.0, 4.95 - hw - 2 * hw * i), vel=(0.0, 0.0),
+                         mass=1.0, shape_kind=int(ShapeKind.POLYGON),
+                         radius=hw, verts=box,
+                         inertia=(2.0 / 3.0) * 1.0 * hw * hw))
+    sc = scene(ents)
+    import jax
+    import jax.numpy as jnp
+    step = rigid_step(sc)
+    dt = sc.cfg.shared.seconds_per_tick
+    g_dt = 9.8 * dt
+
+    @jax.jit
+    def gravity_and_move(s):
+        # gravity + movement integration so contacts actually form (the full
+        # tick runs Movement after the rigid solve, src/sim.cpp:107-114)
+        b = s.bodies
+        free = ~b.boundary
+        vy = b.vel[:, 1] + jnp.where(free, g_dt, 0.0)
+        vel = b.vel.at[:, 1].set(vy)
+        pos = b.pos + jnp.where(free[:, None], vel * dt, 0.0)
+        return s.replace(bodies=b.replace(vel=vel, pos=pos))
+
+    s = sc.state
+    for _ in range(240):
+        s = step(gravity_and_move(s))
+    p = np.asarray(s.bodies.pos)
+    v = np.asarray(s.bodies.vel)
+    assert np.isfinite(p).all()
+    assert np.abs(v[1:6]).max() < 1.0             # calm stack
+    ys = p[1:6, 1]
+    assert (np.diff(ys[np.argsort(ys)]) > hw).all()    # boxes stay separated
+    assert ys.max() < 4.96                        # nothing sank through floor
