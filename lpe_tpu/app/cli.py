@@ -24,8 +24,11 @@ def main(argv=None):
     runp.add_argument("--ticks", type=int, default=600)
     runp.add_argument("--seed", type=int, default=0)
     runp.add_argument("--time-scale", type=float, default=1.0)
-    runp.add_argument("--color-scheme", choices=["default", "sleep"],
+    runp.add_argument("--color-scheme",
+                      choices=["default", "sleep", "temperature"],
                       default="default")
+    runp.add_argument("--debug", action="store_true",
+                      help="velocity/angular debug overlays")
     runp.add_argument("--gif", help="write animation GIF to this path")
     runp.add_argument("--png", help="write final frame PNG to this path")
     runp.add_argument("--frame-every", type=int, default=4,
@@ -37,6 +40,11 @@ def main(argv=None):
     runp.add_argument("--realtime", action="store_true")
 
     listp = sub.add_parser("list", help="list scenarios")
+
+    viewp = sub.add_parser("view", help="interactive viewer (needs display)")
+    viewp.add_argument("--scenario", default="KEPLERIAN_DISK")
+    viewp.add_argument("--seed", type=int, default=0)
+    viewp.add_argument("--size", type=int, default=600)
 
     bp = sub.add_parser("bench", help="steps/sec for a scenario")
     bp.add_argument("--scenario", default="SIMPLE_FLUID")
@@ -56,6 +64,10 @@ def main(argv=None):
 
     st = SimulationType[args.scenario]
 
+    if args.cmd == "view":
+        from .viewer import view
+        return view(st, seed=args.seed, size=args.size)
+
     if args.cmd == "bench":
         import jax
         mgr = SimManager(st, seed=args.seed)
@@ -69,8 +81,11 @@ def main(argv=None):
                           "seconds": dt, "ticks_per_sec": args.ticks / dt}))
         return 0
 
-    scheme = SCHEME_SLEEP if args.color_scheme == "sleep" else SCHEME_DEFAULT
-    mgr = SimManager(st, seed=args.seed, color_scheme=scheme)
+    from ..render.frame import SCHEME_TEMPERATURE
+    scheme = {"default": SCHEME_DEFAULT, "sleep": SCHEME_SLEEP,
+              "temperature": SCHEME_TEMPERATURE}[args.color_scheme]
+    mgr = SimManager(st, seed=args.seed, color_scheme=scheme,
+                     debug=args.debug)
     if args.resume:
         from ..io.checkpoint import load_state
         mgr.state = load_state(args.resume)

@@ -38,10 +38,11 @@ class SimManager:
     """Owns the scenario, the jitted tick, pause/step/speed state."""
 
     def __init__(self, scenario=C.SimulationType.KEPLERIAN_DISK, seed: int = 0,
-                 color_scheme: int = SCHEME_DEFAULT):
+                 color_scheme: int = SCHEME_DEFAULT, debug: bool = False):
         self.paused = False
         self.step_frame = False
         self.color_scheme = color_scheme
+        self.debug = debug
         self._renderer = None
         self.stats = LoopStats()
         self.select_scenario(scenario, seed=seed)
@@ -79,6 +80,11 @@ class SimManager:
         self.color_scheme = scheme
         self._renderer = None
 
+    def toggle_debug(self):
+        """Debug overlay toggle (reference: event_manager.cpp DEBUG_TOGGLE)."""
+        self.debug = not self.debug
+        self._renderer = None
+
     # -- stepping & rendering -------------------------------------------
     def tick(self, n: int = 1):
         with PROFILER.scope("tick"):
@@ -90,7 +96,8 @@ class SimManager:
         if self._renderer is None:
             self._renderer = make_renderer(self.scene.spec, self.scene.cfg,
                                            width=width, height=height,
-                                           color_scheme=self.color_scheme)
+                                           color_scheme=self.color_scheme,
+                                           debug=self.debug)
         with PROFILER.scope("render"):
             return np.asarray(self._renderer(self.state))
 

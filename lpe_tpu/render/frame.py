@@ -139,9 +139,55 @@ def _shape_masks(state, spec, idx0, count, H, W, mpp, chunk=8):
     return jax.lax.fori_loop(0, count, raster_one, (color0, alpha0))
 
 
+def _debug_overlays(state, spec, img, H, W, mpp):
+    """Velocity vectors (cyan, 20 px per m/s) and angular-velocity arcs
+    (magenta, radius 15 px, arc = min(|w|*0.5, pi/2) from -pi/2), drawn on
+    device. reference: solid_renderer.cpp:206-275."""
+    b = state.bodies
+    ypix = (jnp.arange(H, dtype=b.pos.dtype) + 0.5)[:, None]
+    xpix = (jnp.arange(W, dtype=b.pos.dtype) + 0.5)[None, :]
+    cyan = jnp.array([0.0, 255.0, 255.0], jnp.float32)
+    magenta = jnp.array([255.0, 0.0, 255.0], jnp.float32)
+
+    def one(i, img):
+        k = spec.solid_start + i
+        px = b.pos[k, 0] / mpp
+        py = b.pos[k, 1] / mpp
+        dx = xpix - px
+        dy = ypix - py
+        # --- velocity line ---
+        vx, vy = b.vel[k, 0], b.vel[k, 1]
+        vmag = jnp.sqrt(vx * vx + vy * vy)
+        vlen = vmag * 20.0
+        ux = jnp.where(vmag > 1e-9, vx / jnp.maximum(vmag, 1e-9), 0.0)
+        uy = jnp.where(vmag > 1e-9, vy / jnp.maximum(vmag, 1e-9), 0.0)
+        t = jnp.clip(dx * ux + dy * uy, 0.0, vlen)
+        d2 = (dx - t * ux) ** 2 + (dy - t * uy) ** 2
+        on_line = (d2 <= 1.0) & (vlen > 1.0) & b.active[k]
+        img = jnp.where(on_line[:, :, None], cyan[None, None, :], img)
+        # --- angular arc ---
+        w = b.omega[k]
+        r = jnp.sqrt(dx * dx + dy * dy)
+        ang = jnp.arctan2(dy, dx)
+        arc_len = jnp.minimum(jnp.abs(w) * 0.5, jnp.pi / 2)
+        rel = ang - (-jnp.pi / 2)
+        rel = jnp.where(rel > jnp.pi, rel - 2 * jnp.pi,
+                        jnp.where(rel < -jnp.pi, rel + 2 * jnp.pi, rel))
+        in_arc = jnp.where(w >= 0, (rel >= 0) & (rel <= arc_len),
+                           (rel <= 0) & (rel >= -arc_len))
+        on_arc = (jnp.abs(r - 15.0) <= 1.0) & in_arc & \
+            (jnp.abs(w) > 0.05) & b.active[k]
+        return jnp.where(on_arc[:, :, None], magenta[None, None, :], img)
+
+    if spec.n_solid == 0:
+        return img
+    return jax.lax.fori_loop(0, spec.n_solid, one, img)
+
+
 def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
                   width: int = 600, height: int = 600,
-                  color_scheme: int = SCHEME_DEFAULT, jit: bool = True):
+                  color_scheme: int = SCHEME_DEFAULT, jit: bool = True,
+                  debug: bool = False):
     mpp = cfg.shared.meters_per_pixel * (600.0 / width)
     H, W = height, width
 
@@ -154,7 +200,9 @@ def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
             base = jnp.array(FLUID_BASE_COLOR, jnp.float32)
             img = img * (1 - alpha[:, :, None]) + base * alpha[:, :, None]
         # color-scheme recolor (SLEEP paints asleep red / awake green,
-        # presentation_manager.cpp:37-40) applied via state copy
+        # presentation_manager.cpp:37-40; TEMPERATURE maps 0..100 onto a
+        # blue->red ramp, gray when absent, presentation_manager.cpp:41-48)
+        # applied via state copy
         st = state
         if color_scheme == SCHEME_SLEEP:
             asleep = b.asleep[:, None]
@@ -162,6 +210,13 @@ def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
                             jnp.array([50, 200, 50], jnp.uint8))
             st = state.replace(bodies=b.replace(
                 color=jnp.where(b.has_sleep[:, None], col, b.color)))
+        elif color_scheme == SCHEME_TEMPERATURE:
+            t = jnp.clip(b.temperature / 100.0, 0.0, 1.0)
+            col = jnp.stack([255.0 * t, jnp.zeros_like(t),
+                             255.0 * (1.0 - t)], axis=-1).astype(jnp.uint8)
+            gray = jnp.full_like(b.color, 128)
+            st = state.replace(bodies=b.replace(
+                color=jnp.where(b.has_temperature[:, None], col, gray)))
         # solids
         scol, salpha = _shape_masks(st, spec, spec.solid_start, spec.n_solid,
                                     H, W, mpp)
@@ -172,6 +227,8 @@ def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
                                         H, W, mpp)
             ga = galpha[:, :, None] * (180.0 / 255.0)
             img = img * (1 - ga) + gcol * ga
+        if debug:
+            img = _debug_overlays(st, spec, img, H, W, mpp)
         return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
     return jax.jit(frame) if jit else frame

@@ -48,6 +48,7 @@ class EntityProto:
     color: tuple[int, int, int] = (255, 255, 255)
     speed_of_sound: float = 1000.0
     smoothing_length: float = 0.0         # 0 -> fluid cfg default at gather
+    temperature: float | None = None      # None: no Temperature component
 
 
 @dataclass(frozen=True)
@@ -142,6 +143,8 @@ class SceneBuilder:
         sfric = arr((cap,), np.float64, 0.5)
         dfric = arr((cap,), np.float64, 0.3)
         color = arr((cap, 3), np.uint8, 255)
+        temperature = arr((cap,), np.float64)
+        has_temperature = arr((cap,), bool)
         h = arr((cap,), np.float64)
         c = arr((cap,), np.float64, 1000.0)
 
@@ -169,6 +172,9 @@ class SceneBuilder:
             sfric[i] = e.static_friction
             dfric[i] = e.dynamic_friction
             color[i] = e.color
+            if e.temperature is not None:
+                temperature[i] = e.temperature
+                has_temperature[i] = True
             c[i] = e.speed_of_sound
             hh = e.smoothing_length or cfg.fluid.grid.smoothing_length
             h[i] = hh
@@ -196,6 +202,8 @@ class SceneBuilder:
             sleep_counter=jnp.asarray(sleep_counter), active=jnp.asarray(active),
             static_friction=j(sfric), dynamic_friction=j(dfric),
             color=jnp.asarray(color),
+            temperature=j(temperature),
+            has_temperature=jnp.asarray(has_temperature),
             h=j(h), c=j(c), density=jnp.zeros((cap,), dtype),
             pressure=jnp.zeros((cap,), dtype), vhalf=jnp.zeros((cap, 2), dtype),
         )

@@ -67,6 +67,8 @@ class Bodies:
     static_friction: jax.Array   # [N] float
     dynamic_friction: jax.Array  # [N] float
     color: jax.Array        # [N, 3] uint8
+    temperature: jax.Array  # [N] float (Temperature component value)
+    has_temperature: jax.Array  # [N] bool (entity owns a Temperature comp)
 
     # SPH per-particle quantities
     h: jax.Array            # [N] float   smoothing length
@@ -114,6 +116,7 @@ def zero_bodies(n: int, dtype=jnp.float32) -> Bodies:
         static_friction=jnp.full((n,), 0.5, dtype),
         dynamic_friction=jnp.full((n,), 0.3, dtype),
         color=jnp.full((n, 3), 255, jnp.uint8),
+        temperature=f(n), has_temperature=b(n),
         h=f(n), c=jnp.full((n,), 1000.0, dtype),
         density=f(n), pressure=f(n), vhalf=f(n, 2),
     )

@@ -93,51 +93,57 @@ def _rigid_proxies(b, NR):
 
 def _point_in_polygon(px, py, wx, wy, vmask, nv):
     """Ray-cast parity test over masked edge rings.
-    px,py: [NL,1]; wx,wy: [NR,V]; returns [NL,NR] bool.
-    reference: fluid_kernels.metal:125-147."""
+    px,py: [NL]; wx,wy: [NR,V]; returns [NR,NL] bool.
+
+    Layout: the particle axis is trailing so VPU lanes run along NL
+    (NR is tiny — a leading NL axis would leave 97% of each 128-wide
+    vector lane idle). reference: fluid_kernels.metal:125-147."""
     V = wx.shape[1]
     idx = jnp.arange(V)
     prev = jnp.where(idx == 0, jnp.maximum(nv - 1, 0)[:, None],
                      (idx - 1)[None, :])  # [NR,V]
-    xj = jnp.take_along_axis(wx, prev, axis=1)
-    yj = jnp.take_along_axis(wy, prev, axis=1)
-    xi, yi = wx, wy
-    # broadcast [NL,1,1] vs [1,NR,V]
-    p_x = px[:, :, None]
-    p_y = py[:, :, None]
-    yi_, yj_ = yi[None], yj[None]
-    xi_, xj_ = xi[None], xj[None]
-    denom = yj_ - yi_
-    tx = (xj_ - xi_) * (p_y - yi_) / jnp.where(jnp.abs(denom) < 1e-30,
-                                               1e-30, denom) + xi_
-    crosses = ((yi_ > p_y) != (yj_ > p_y)) & (p_x < tx)
-    crosses = crosses & vmask[None]
-    inside = (jnp.sum(crosses.astype(jnp.int32), axis=-1) % 2) == 1
-    return inside & (nv[None, :] >= 3)
+    xj = jnp.take_along_axis(wx, prev, axis=1)[:, :, None]   # [NR,V,1]
+    yj = jnp.take_along_axis(wy, prev, axis=1)[:, :, None]
+    xi, yi = wx[:, :, None], wy[:, :, None]
+    p_x = px[None, None, :]                                  # [1,1,NL]
+    p_y = py[None, None, :]
+    denom = yj - yi
+    tx = (xj - xi) * (p_y - yi) / jnp.where(jnp.abs(denom) < 1e-30,
+                                            1e-30, denom) + xi
+    crosses = ((yi > p_y) != (yj > p_y)) & (p_x < tx)
+    crosses = crosses & vmask[:, :, None]
+    inside = (jnp.sum(crosses.astype(jnp.int32), axis=1) % 2) == 1
+    return inside & (nv[:, None] >= 3)
 
 
 def _closest_point_on_polygon(px, py, wx, wy, vmask, nv):
-    """Closest boundary point; [NL,NR,2]. reference: metal:149-194."""
+    """Closest boundary point; returns (cx, cy) each [NR,NL].
+    reference: metal:149-194. Same trailing-NL layout as above; the
+    closest-edge selection is a first-match mask reduction instead of
+    argmin + take_along_axis (per-element gathers are slow on TPU)."""
     V = wx.shape[1]
     idx = jnp.arange(V)
     nxt = jnp.where(idx + 1 >= nv[:, None], 0, (idx + 1)[None, :])
     x2 = jnp.take_along_axis(wx, nxt, axis=1)
     y2 = jnp.take_along_axis(wy, nxt, axis=1)
-    ex = (x2 - wx)[None]            # [1,NR,V]
-    ey = (y2 - wy)[None]
-    dx = px[:, :, None] - wx[None]
-    dy = py[:, :, None] - wy[None]
+    ex = (x2 - wx)[:, :, None]      # [NR,V,1]
+    ey = (y2 - wy)[:, :, None]
+    wx_, wy_ = wx[:, :, None], wy[:, :, None]
+    dx = px[None, None, :] - wx_
+    dy = py[None, None, :] - wy_
     elen2 = ex * ex + ey * ey
     t = (dx * ex + dy * ey) / jnp.where(elen2 < 1e-16, 1e-16, elen2)
     t = jnp.clip(t, 0.0, 1.0)
-    cx = wx[None] + t * ex
-    cy = wy[None] + t * ey
-    d2 = (px[:, :, None] - cx) ** 2 + (py[:, :, None] - cy) ** 2
-    bad = (~vmask[None]) | (elen2 < 1e-16)
+    cx = wx_ + t * ex               # [NR,V,NL]
+    cy = wy_ + t * ey
+    d2 = (px[None, None, :] - cx) ** 2 + (py[None, None, :] - cy) ** 2
+    bad = (~vmask[:, :, None]) | (elen2 < 1e-16)
     d2 = jnp.where(bad, INF, d2)
-    k = jnp.argmin(d2, axis=-1)
-    cxb = jnp.take_along_axis(cx, k[..., None], axis=-1)[..., 0]
-    cyb = jnp.take_along_axis(cy, k[..., None], axis=-1)[..., 0]
+    dmin = d2.min(axis=1, keepdims=True)
+    eq = d2 == dmin
+    first = eq & (jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1)
+    cxb = jnp.where(first, cx, 0.0).sum(1)
+    cyb = jnp.where(first, cy, 0.0).sum(1)
     return cxb, cyb
 
 
@@ -184,22 +190,28 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     # the inner loop. K = grid.max_per_cell keeps the reference's per-cell
     # occupancy contract (deterministically: first K in sorted order).
     #
-    # Layout note: the slot axis K is the *leading* (sublane-batched) axis
-    # and the x-cell axis is the trailing one, so VPU lanes run along x
-    # (nx ~ O(100-1000) >> K = 16); a trailing K axis would waste 7/8 of
-    # every 128-wide vector lane.
+    # Layout note: the slot axis K is trailing ([ny, nx, K]); measured on
+    # hardware this is neutral on TPU (XLA picks its own tiling) and the
+    # K-contiguous layout is dramatically faster on the CPU test backend.
     # ------------------------------------------------------------------
     def build_grid(x, y):
         gx, gy = cell_coords(x, y)
         ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
         cid = jnp.where(ok, gy * nx + gx, ncells)
-        order = jnp.argsort(cid)
+        # stable=False: TPU's stable argsort lowering is catastrophically
+        # slow (measured ~4000x); instability only permutes equal cell-ids,
+        # which changes nothing but the (deterministic) drop set when a cell
+        # overflows K — the same contract as the reference's atomic races.
+        order = jnp.argsort(cid, stable=False)
         sc = cid[order]
-        start = jnp.searchsorted(sc, jnp.arange(ncells + 1), side="left")
+        # cell start offsets via histogram + exclusive cumsum (a searchsorted
+        # over ncells queries is ~3x slower on TPU)
+        counts = jnp.zeros((ncells + 1,), jnp.int32).at[cid].add(1)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(counts[:-1], dtype=jnp.int32)])
         rank = jnp.arange(NL) - start[jnp.clip(sc, 0, ncells)]
         valid = (sc < ncells) & (rank < K)
-        # slot layout [K, ncells]: rank-major so lanes run along cells
-        slot = jnp.where(valid, rank * ncells + sc, ncells * K)
+        slot = jnp.where(valid, sc * K + rank, ncells * K)
         pvalid = jnp.zeros((NL,), bool).at[order].set(valid)
         return dict(order=order, slot=slot, valid=valid, pvalid=pvalid,
                     cid=cid)
@@ -207,50 +219,75 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     def to_dense(grid, fields: dict):
         """Scatter per-particle fields into padded dense grids
         [K, ny+2, nx+2] (1-cell zero apron for neighbor slicing). One scatter
-        per field — benchmarked faster than packing the field axis into a
-        single scatter payload on TPU."""
+        of NL indices per field — benchmarked faster than both a packed
+        multi-field scatter payload and a [K, ncells]-index gather build."""
         out = {}
         for name, field in fields.items():
             flat = jnp.zeros((ncells * K + 1,), field.dtype)
             flat = flat.at[grid["slot"]].set(field[grid["order"]],
                                              mode="drop")
-            d = flat[:ncells * K].reshape(K, ny, nx)
-            out[name] = jnp.pad(d, ((0, 0), (1, 1), (1, 1)))
+            d = flat[:ncells * K].reshape(ny, nx, K)
+            out[name] = jnp.pad(d, ((1, 1), (1, 1), (0, 0)))
         return out
 
     def from_dense(grid, dense_padded_list):
         """Read back per-particle values from padded dense grids."""
         outs = []
         for dense_padded in dense_padded_list:
-            flat = dense_padded[:, 1:-1, 1:-1].reshape(ncells * K)
+            flat = dense_padded[1:-1, 1:-1].reshape(ncells * K)
             vals = flat[jnp.clip(grid["slot"], 0, ncells * K - 1)]
             vals = jnp.where(grid["valid"], vals, 0.0)
             out = jnp.zeros((NL,), vals.dtype)
             outs.append(out.at[grid["order"]].set(vals))
         return outs
 
+    # Unrolled offsets fuse better (notably on the CPU test backend), but
+    # compile time scales with body count x grid size — at 100k-particle
+    # grids the unrolled program takes minutes to compile, so big grids scan.
+    _UNROLL_OFFSETS = ncells <= 8192
+
     def _offsets(grids, fn, init):
-        """Accumulate fn over the 9 neighbor offsets of padded dense grids."""
-        acc = init
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                nbr = {k: jax.lax.slice(
-                    v, (0, dy, dx), (v.shape[0], dy + ny, dx + nx))
-                    for k, v in grids.items()}
-                acc = fn(acc, nbr, dy == 1 and dx == 1)
+        """Accumulate fn over the 9 neighbor offsets of padded dense grids.
+        ``fn`` receives ``is_center`` as a (possibly traced) bool."""
+        if _UNROLL_OFFSETS:
+            acc = init
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    nbr = {k: jax.lax.slice(
+                        v, (dy, dx, 0), (dy + ny, dx + nx, v.shape[2]))
+                        for k, v in grids.items()}
+                    acc = fn(acc, nbr, dy == 1 and dx == 1)
+            return acc
+
+        dydx = jnp.array([(dy, dx) for dy in (0, 1, 2) for dx in (0, 1, 2)],
+                         jnp.int32)
+
+        def body(acc, od):
+            dy, dx = od[0], od[1]
+            nbr = {k: jax.lax.dynamic_slice(
+                v, (dy, dx, 0), (ny, nx, v.shape[2]))
+                for k, v in grids.items()}
+            return fn(acc, nbr, (dy == 1) & (dx == 1)), None
+
+        acc, _ = jax.lax.scan(body, init, dydx)
         return acc
 
-    # pair broadcasting: center slot k1 -> axis 0, neighbor slot k2 -> axis 1
-    def _ctr(v):       # [K, ny, nx] -> [K, 1, ny, nx]
-        return v[:, None]
+    # pair broadcasting: center slot k1 -> 2nd-to-last axis, neighbor k2 last
+    def _ctr(v):       # [ny, nx, K] -> [ny, nx, K, 1]
+        return v[..., :, None]
 
-    def _nbr(v):       # [K, ny, nx] -> [1, K, ny, nx]
-        return v[None, :]
+    def _nbr(v):       # [ny, nx, K] -> [ny, nx, 1, K]
+        return v[..., None, :]
 
     def density_pass(x, y, mass, grid):
+        """Returns (rho, pres, D): particle-order density/pressure plus the
+        dense field dict, which the force pass extends in place — the
+        position/mass/occupancy scatters and the dense rho/pres are shared
+        between the two passes instead of being rebuilt (scatters are the
+        substep's dominant cost on TPU, not the pair math)."""
         h2 = h * h
         D = to_dense(grid, dict(x=x, y=y, m=mass, occ=jnp.ones_like(x)))
-        ctr = lambda v: v[:, 1:-1, 1:-1]
+        ctr = lambda v: v[1:-1, 1:-1]
         sx, sy, socc = ctr(D["x"]), ctr(D["y"]), ctr(D["occ"])
 
         def step_fn(rho, nbr, _is_center):
@@ -259,29 +296,29 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             r2 = ddx * ddx + ddy * ddy
             pair_ok = (_ctr(socc) * _nbr(nbr["occ"])) > 0
             w = jnp.where(pair_ok & (r2 < h2), POLY6 * (h2 - r2) ** 3, 0.0)
-            return rho + (_nbr(nbr["m"]) * w).sum(1)
+            return rho + (_nbr(nbr["m"]) * w).sum(-1)
 
         rho_dense = _offsets(D, step_fn, jnp.zeros_like(ctr(D["x"])))
-        (rho,) = from_dense(grid, [jnp.pad(rho_dense,
-                                           ((0, 0), (1, 1), (1, 1)))])
+        rho_pad = jnp.pad(rho_dense, ((1, 1), (1, 1), (0, 0)))
+        (rho,) = from_dense(grid, [rho_pad])
         # overflow particles (rank >= K) at least see themselves, as in the
         # reference where every particle self-contributes (metal:284-295)
         rho = jnp.where(grid["pvalid"], rho, mass * POLY6 * h2 ** 3)
         pres = jnp.maximum(fc.stiffness * (rho - fc.rest_density), 0.0)
-        return rho, pres
+        D["rho"] = rho_pad
+        D["p"] = jnp.maximum(fc.stiffness * (rho_pad - fc.rest_density), 0.0)
+        return rho, pres, D
 
-    def force_pass(x, y, vx, vy, mass, rho, pres, grid):
+    def force_pass(vx, vy, D, grid):
         h2 = h * h
-        D = to_dense(grid, dict(
-            x=x, y=y, vx=vx, vy=vy, m=mass, rho=rho, p=pres,
-            occ=jnp.ones_like(x)))
-        ctr = lambda v: v[:, 1:-1, 1:-1]
+        D = dict(D, **to_dense(grid, dict(vx=vx, vy=vy)))
+        ctr = lambda v: v[1:-1, 1:-1]
         sx, sy = ctr(D["x"]), ctr(D["y"])
         svx, svy = ctr(D["vx"]), ctr(D["vy"])
         srho, sp = ctr(D["rho"]), ctr(D["p"])
         socc = ctr(D["occ"])
         kk = jnp.arange(K)
-        diag = (kk[:, None] == kk[None, :])[:, :, None, None]
+        diag = kk[:, None] == kk[None, :]
 
         def step_fn(acc, nbr, is_center):
             fx_a, fy_a = acc
@@ -289,8 +326,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             ddy = _ctr(sy) - _nbr(nbr["y"])
             r2 = ddx * ddx + ddy * ddy
             ok = (_ctr(socc) * _nbr(nbr["occ"])) > 0
-            if is_center:
-                ok = ok & ~diag
+            ok = ok & ~(is_center & diag)
             ok = ok & (r2 >= nm.min_distance_threshold) & (r2 < h2) \
                 & (_nbr(nbr["rho"]) >= nm.min_density_threshold) \
                 & (_ctr(srho) >= nm.min_density_threshold)
@@ -308,11 +344,11 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             fy = fy - f_visc * (_ctr(svy) - _nbr(nbr["vy"]))
             fx = jnp.where(ok, fx, 0.0)
             fy = jnp.where(ok, fy, 0.0)
-            return fx_a + fx.sum(1), fy_a + fy.sum(1)
+            return fx_a + fx.sum(-1), fy_a + fy.sum(-1)
 
         z = jnp.zeros_like(sx)
         fx_d, fy_d = _offsets(D, step_fn, (z, z))
-        pad = lambda v: jnp.pad(v, ((0, 0), (1, 1), (1, 1)))
+        pad = lambda v: jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
         fx_p, fy_p = from_dense(grid, [pad(fx_d), pad(fy_d)])
         return fx_p, fy_p
 
@@ -324,38 +360,38 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
 
     def overlap_info(px, py, R):
         """Shared inside/normal/penetration computation. Returns dict of
-        [NL,NR] arrays. Circle penetration = radius - dist; polygon
-        penetration = distance to boundary (the reference's quirk,
-        metal:616,788)."""
-        rx = px[:, None] - R["pos"][None, :, 0]
-        ry = py[:, None] - R["pos"][None, :, 1]
-        in_aabb = (px[:, None] >= R["minx"][None]) & \
-                  (px[:, None] <= R["maxx"][None]) & \
-                  (py[:, None] >= R["miny"][None]) & \
-                  (py[:, None] <= R["maxy"][None]) & R["valid"][None]
+        [NR,NL] arrays (rigid axis leading: lanes run along particles).
+        Circle penetration = radius - dist; polygon penetration = distance
+        to boundary (the reference's quirk, metal:616,788)."""
+        rx = px[None, :] - R["pos"][:, 0][:, None]
+        ry = py[None, :] - R["pos"][:, 1][:, None]
+        in_aabb = (px[None, :] >= R["minx"][:, None]) & \
+                  (px[None, :] <= R["maxx"][:, None]) & \
+                  (py[None, :] >= R["miny"][:, None]) & \
+                  (py[None, :] <= R["maxy"][:, None]) & R["valid"][:, None]
         # circle
         d2 = rx * rx + ry * ry
-        rad = R["radius"][None, :]
+        rad = R["radius"][:, None]
         inside_c = d2 < rad * rad
         dist_c = jnp.sqrt(jnp.maximum(d2, 1e-30))
         # polygon
-        inside_p = _point_in_polygon(px[:, None], py[:, None],
-                                     R["wx"], R["wy"], R["vmask"], R["nverts"])
-        cxb, cyb = _closest_point_on_polygon(px[:, None], py[:, None],
-                                             R["wx"], R["wy"], R["vmask"],
-                                             R["nverts"])
-        pdx = px[:, None] - cxb
-        pdy = py[:, None] - cyb
+        inside_p = _point_in_polygon(px, py, R["wx"], R["wy"],
+                                     R["vmask"], R["nverts"])
+        cxb, cyb = _closest_point_on_polygon(px, py, R["wx"], R["wy"],
+                                             R["vmask"], R["nverts"])
+        pdx = px[None, :] - cxb
+        pdy = py[None, :] - cyb
         dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
-        is_c = R["is_circle"][None, :]
+        is_c = R["is_circle"][:, None]
         inside = in_aabb & jnp.where(is_c, inside_c, inside_p)
         return dict(
             inside=inside, is_c=is_c, rx=rx, ry=ry,
             dist_c=dist_c, rad=rad, dist_p=dist_p, pdx=pdx, pdy=pdy)
 
-    def position_solve(px, py, vx, vy, vhx, vhy, R):
-        """PBD push-out (reference: metal:533-668)."""
-        o = overlap_info(px, py, R)
+    def position_solve(px, py, vx, vy, vhx, vhy, R, o):
+        """PBD push-out (reference: metal:533-668). ``o`` is the shared
+        overlap_info of (px, py) — computed once per substep for both
+        coupling solvers."""
         # circle correction
         d_c = jnp.maximum(o["dist_c"], psv.min_safe_distance)
         dirx_c = jnp.where(o["dist_c"] < psv.min_safe_distance, 1.0,
@@ -374,9 +410,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         corr_y = jnp.where(o["is_c"], -diry_c * pen_c, diry_p * pen_p)
         corr_x = jnp.where(o["inside"], corr_x * psv.relax_factor, 0.0)
         corr_y = jnp.where(o["inside"], corr_y * psv.relax_factor, 0.0)
-        acx = corr_x.sum(1)
-        acy = corr_y.sum(1)
-        had = o["inside"].any(1)
+        acx = corr_x.sum(0)
+        acy = corr_y.sum(0)
+        had = o["inside"].any(0)
         mag = jnp.sqrt(acx * acx + acy * acy)
         scale = jnp.where(mag > psv.max_correction,
                           psv.max_correction / jnp.maximum(mag, 1e-30), 1.0)
@@ -401,12 +437,11 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         vhy2 = jnp.where(fix, vy2, vhy)
         return nx_, ny_, vx2, vy2, vhx2, vhy2
 
-    def impulse_solve(px, py, vx, vy, rho, pres, mass, ax, ay, R):
+    def impulse_solve(px, py, vx, vy, rho, pres, mass, ax, ay, R, o):
         """Drag/buoyancy impulse exchange (reference: metal:679-924).
         Returns (ax, ay, Fx_r[NR], Fy_r[NR], Tq_r[NR])."""
-        o = overlap_info(px, py, R)
         rb_v2 = (R["vel"] ** 2).sum(-1) + R["omega"] ** 2
-        ok_r = (rb_v2 <= isv.max_safe_velocity_sq)[None, :]
+        ok_r = (rb_v2 <= isv.max_safe_velocity_sq)[:, None]
         pen = jnp.where(o["is_c"],
                         jnp.maximum(o["rad"] - jnp.maximum(o["dist_c"],
                                                            isv.min_penetration),
@@ -418,23 +453,25 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                           o["pdy"] / jnp.maximum(o["dist_p"], isv.min_penetration))
         act = o["inside"] & ok_r & (pen >= isv.min_penetration)
 
-        dens = jnp.where(rho > 0.0, rho, fc.rest_density)[:, None]
+        dens = jnp.where(rho > 0.0, rho, fc.rest_density)[None, :]
         rel_x = o["rx"]
         rel_y = o["ry"]
-        rig_vx = R["vel"][None, :, 0] - R["omega"][None, :] * rel_y
-        rig_vy = R["vel"][None, :, 1] + R["omega"][None, :] * rel_x
-        rvx = vx[:, None] - rig_vx
-        rvy = vy[:, None] - rig_vy
+        rig_vx = R["vel"][:, 0][:, None] - R["omega"][:, None] * rel_y
+        rig_vy = R["vel"][:, 1][:, None] + R["omega"][:, None] * rel_x
+        rvx = vx[None, :] - rig_vx
+        rvy = vy[None, :] - rig_vy
         depth_f = jnp.tanh(isv.depth_transition_rate * pen / isv.depth_scale)
         vn = rvx * nrm_x + rvy * nrm_y
         tvx = rvx - nrm_x * vn
         tvy = rvy - nrm_y * vn
-        vol = (mass / jnp.maximum(rho, 1e-30))[:, None]
-        vol = jnp.where(rho[:, None] > 0, vol, (mass / fc.rest_density)[:, None])
-        area = jnp.abs(vol) ** (2.0 / 3.0)
-        depth = jnp.minimum(py[:, None] / isv.depth_estimate_scale, 1.0)
+        # particle volume/area are per-particle ([NL]) — keep them 1-D until
+        # the broadcast with [NR,NL] terms
+        vol = jnp.where(rho > 0, mass / jnp.maximum(rho, 1e-30),
+                        mass / fc.rest_density)
+        area = (jnp.abs(vol) ** (2.0 / 3.0))[None, :]
+        depth = jnp.minimum(py / isv.depth_estimate_scale, 1.0)[None, :]
         hydro = dens * fc.gravity * depth
-        total_p = pres[:, None] + hydro
+        total_p = pres[None, :] + hydro
         pforce = total_p * area * depth_f
         fx = nrm_x * jnp.minimum(pforce, isv.max_force * isv.pressure_force_ratio)
         fy = nrm_y * jnp.minimum(pforce, isv.max_force * isv.pressure_force_ratio)
@@ -446,7 +483,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap, 0.0)
         # buoyancy
         buoy = -isv.buoyancy_strength * pen * area * fc.gravity * dens
-        bfy = jnp.where(R["mass"][None, :] > 0.1, buoy, 0.0)
+        bfy = jnp.where(R["mass"][:, None] > 0.1, buoy, 0.0)
         keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= isv.max_force
         fy = jnp.where(keep, fy + bfy, fy)
         fmag = jnp.sqrt(fx * fx + fy * fy)
@@ -454,26 +491,26 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                            isv.max_force / jnp.maximum(fmag, 1e-30), 1.0)
         fx, fy = fx * fscale, fy * fscale
         tq = jnp.clip(rel_x * fy - rel_y * fx, -isv.max_torque, isv.max_torque)
-        spin = jnp.abs(R["omega"])[None, :] > isv.angular_damping_threshold
+        spin = jnp.abs(R["omega"])[:, None] > isv.angular_damping_threshold
         tq = tq - jnp.where(
             spin,
-            isv.angular_damping_factor * jnp.sign(R["omega"])[None, :] *
-            jnp.abs(R["omega"])[None, :] * R["inertia"][None, :], 0.0)
+            isv.angular_damping_factor * jnp.sign(R["omega"])[:, None] *
+            jnp.abs(R["omega"])[:, None] * R["inertia"][:, None], 0.0)
         fx = jnp.where(act, fx, 0.0)
         fy = jnp.where(act, fy, 0.0)
         tq = jnp.where(act, tq, 0.0)
         # accumulate on rigids (deterministic sum replaces atomic_float)
-        Fx_r = fx.sum(0)
-        Fy_r = fy.sum(0)
-        Tq_r = tq.sum(0)
+        Fx_r = fx.sum(1)
+        Fy_r = fy.sum(1)
+        Tq_r = tq.sum(1)
         # Newton's 3rd law back-reaction on fluid
-        ffx = -(fx.sum(1)) * isv.fluid_force_scale
-        ffy = -(fy.sum(1)) * isv.fluid_force_scale
+        ffx = -(fx.sum(0)) * isv.fluid_force_scale
+        ffy = -(fy.sum(0)) * isv.fluid_force_scale
         fm = jnp.sqrt(ffx * ffx + ffy * ffy)
         fsc = jnp.where(fm > isv.fluid_force_max,
                         isv.fluid_force_max / jnp.maximum(fm, 1e-30), 1.0)
         inv_m = jnp.where(mass > 1e-4, 1.0 / mass, 1.0)
-        had = act.any(1)
+        had = act.any(0)
         ax2 = jnp.where(had, ax + ffx * fsc * inv_m, ax)
         ay2 = jnp.where(had, ay + ffy * fsc * inv_m, ay)
         return ax2, ay2, Fx_r, Fy_r, Tq_r
@@ -494,25 +531,42 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                       Fy=jnp.zeros((max(NR, 1),), x.dtype),
                       Tq=jnp.zeros((max(NR, 1),), x.dtype))
 
+        import os
+        _ablate = os.environ.get("LPE_SPH_ABLATE", "")  # perf triage only
+
         def substep(_, cr):
             # kick-drift (metal:408-423)
             vhx = cr["vx"] + half_dt * cr["ax"]
             vhy = cr["vy"] + half_dt * cr["ay"]
             x1 = cr["x"] + vhx * sub_dt
             y1 = cr["y"] + vhy * sub_dt
+            if _ablate == "integrate":
+                z = jnp.zeros_like(x1)
+                return dict(cr, x=x1, y=y1, vx=vhx, vy=vhy, ax=z, ay=z)
             grid = build_grid(x1, y1)
-            rho, pres = density_pass(x1, y1, mass, grid)
-            fx, fy = force_pass(x1, y1, cr["vx"], cr["vy"], mass, rho, pres,
-                                grid)
+            if _ablate == "grid":
+                rho = jnp.where(grid["pvalid"], 1.0, 0.0)
+                return dict(cr, x=x1, y=y1, vx=vhx, vy=vhy, rho=rho)
+            rho, pres, D = density_pass(x1, y1, mass, grid)
+            if _ablate == "density":
+                return dict(cr, x=x1, y=y1, vx=vhx, vy=vhy,
+                            rho=rho, pres=pres)
+            fx, fy = force_pass(cr["vx"], cr["vy"], D, grid)
             ax, ay = fx, fy
+            if _ablate == "nocouple":
+                vx1 = vhx + half_dt * ax
+                vy1 = vhy + half_dt * ay
+                return dict(cr, x=x1, y=y1, vx=vx1, vy=vy1, ax=ax, ay=ay,
+                            rho=rho, pres=pres)
             # second kick (metal:428-441)
             vx1 = vhx + half_dt * ax
             vy1 = vhy + half_dt * ay
             if NR > 0:
+                o = overlap_info(x1, y1, R)
                 ax, ay, dFx, dFy, dTq = impulse_solve(
-                    x1, y1, vx1, vy1, rho, pres, mass, ax, ay, R)
+                    x1, y1, vx1, vy1, rho, pres, mass, ax, ay, R, o)
                 x1, y1, vx1, vy1, vhx, vhy = position_solve(
-                    x1, y1, vx1, vy1, vx1, vy1, R)
+                    x1, y1, vx1, vy1, vx1, vy1, R, o)
                 Fx = cr["Fx"] + dFx
                 Fy = cr["Fy"] + dFy
                 Tq = cr["Tq"] + dTq

@@ -31,6 +31,47 @@ def test_sleep_color_scheme():
     assert green.any() and red.any()
 
 
+def test_temperature_color_scheme():
+    from lpe_tpu.core.config import ScenarioSystemConfig
+    from lpe_tpu.core.constants import Phase, ShapeKind
+    from lpe_tpu.render import SCHEME_TEMPERATURE
+    from lpe_tpu.scene import SceneBuilder
+    b = SceneBuilder("temp")
+    b.add(pos=(1.0, 1.0), radius=0.3, temperature=100.0,
+          shape_kind=int(ShapeKind.CIRCLE))
+    b.add(pos=(3.0, 3.0), radius=0.3, temperature=0.0,
+          shape_kind=int(ShapeKind.CIRCLE))
+    b.add(pos=(5.0, 5.0), radius=0.3,
+          shape_kind=int(ShapeKind.CIRCLE))       # no Temperature component
+    sc = b.finalize(ScenarioSystemConfig())
+    r = make_renderer(sc.spec, sc.cfg, color_scheme=SCHEME_TEMPERATURE)
+    f = np.asarray(r(sc.state))
+    # hot -> red, cold -> blue, absent -> gray (presentation_manager.cpp:41-48)
+    red = (f[:, :, 0] == 255) & (f[:, :, 2] == 0)
+    blue = (f[:, :, 2] == 255) & (f[:, :, 0] == 0)
+    gray = (f == 128).all(-1)
+    assert red.any() and blue.any() and gray.any()
+
+
+def test_debug_overlays():
+    from lpe_tpu.core.config import ScenarioSystemConfig
+    from lpe_tpu.core.constants import ShapeKind
+    from lpe_tpu.scene import SceneBuilder
+    b = SceneBuilder("dbg")
+    b.add(pos=(3.0, 3.0), vel=(1.0, 0.0), omega=2.0, radius=0.05,
+          inertia=0.1, shape_kind=int(ShapeKind.CIRCLE))
+    sc = b.finalize(ScenarioSystemConfig())
+    plain = np.asarray(make_renderer(sc.spec, sc.cfg)(sc.state))
+    dbg = np.asarray(make_renderer(sc.spec, sc.cfg, debug=True)(sc.state))
+    cyan = (dbg[:, :, 1] == 255) & (dbg[:, :, 2] == 255) & (dbg[:, :, 0] == 0)
+    magenta = (dbg[:, :, 0] == 255) & (dbg[:, :, 2] == 255) & \
+        (dbg[:, :, 1] == 0)
+    assert cyan.any()          # velocity vector (solid_renderer.cpp:206-228)
+    assert magenta.any()       # angular arc (solid_renderer.cpp:230-275)
+    assert not ((plain[:, :, 1] == 255) & (plain[:, :, 2] == 255)
+                & (plain[:, :, 0] == 0)).any()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     from lpe_tpu.io.checkpoint import load_state, save_state
@@ -137,6 +178,26 @@ def test_native_engine_matches_numpy_oracle():
     # rounding noise amplified by 30 substeps of dynamics
     assert np.abs(p1 - p2).max() < 1e-5
     assert np.abs(r1 - r2).max() < 1e-5
+
+
+def test_event_dispatch_parity():
+    """Key->action dispatch (reference: event_manager.cpp:52-125)."""
+    from lpe_tpu.app.sim_manager import SimManager
+    from lpe_tpu.app.viewer import dispatch_key
+    from lpe_tpu.render.frame import SCHEME_SLEEP
+    m = SimManager(ST.RANDOM_POLYGONS, seed=0)
+    assert dispatch_key(m, "p") == "paused" and m.paused
+    assert dispatch_key(m, "p") == "resumed" and not m.paused
+    assert dispatch_key(m, "x") == "speed=0.5x"
+    assert float(m.state.time_scale) == 0.5
+    assert dispatch_key(m, "l") == "scheme=l"
+    assert m.color_scheme == SCHEME_SLEEP
+    assert dispatch_key(m, "g").startswith("debug=")
+    assert dispatch_key(m, "1").startswith("scenario=KEPLERIAN")
+    m.tick(1)
+    assert dispatch_key(m, "r") == "reset"
+    assert int(m.state.tick) == 0
+    assert dispatch_key(m, "q") == ""      # unbound key: no-op
 
 
 def test_sim_manager_api_surface():
