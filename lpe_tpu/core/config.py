@@ -232,6 +232,10 @@ class FluidConfig:
     damping_factor: float = 1.0
     num_sub_steps: int = 10
     threads_per_group: int = 256     # parity field; XLA/Pallas choose tiling
+    # Pair-pass backend: "auto" = Pallas row-band kernels on TPU (skip empty
+    # rows + occupancy-bounded loops), plain XLA elsewhere; "xla"/"pallas"
+    # force one. Results agree up to float reassociation of neighbor sums.
+    pair_backend: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -173,6 +173,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     VISC = visc_laplacian_coeff_2d(h)
     nm = fc.numerical
     K = max(1, min(fc.grid.max_per_cell, NL))
+    nxp = nx + 2
+    use_pallas = fc.pair_backend == "pallas" or (
+        fc.pair_backend == "auto" and jax.default_backend() == "tpu")
 
     def cell_coords(x, y):
         gx = jnp.floor((x + eps) / cell).astype(jnp.int32) - gmin
@@ -211,31 +214,56 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                                  jnp.cumsum(counts[:-1], dtype=jnp.int32)])
         rank = jnp.arange(NL) - start[jnp.clip(sc, 0, ncells)]
         valid = (sc < ncells) & (rank < K)
-        slot = jnp.where(valid, sc * K + rank, ncells * K)
-        pvalid = jnp.zeros((NL,), bool).at[order].set(valid)
-        return dict(order=order, slot=slot, valid=valid, pvalid=pvalid,
-                    cid=cid)
+        g = dict(order=order, valid=valid, cid=cid,
+                 pvalid=jnp.zeros((NL,), bool).at[order].set(valid))
+        if use_pallas:
+            # [ny+2, K, nx+2] layout (row band slabs for the Pallas kernels);
+            # apron cells are part of the flat index space so no jnp.pad pass
+            # is needed — nothing ever scatters into them.
+            row = sc // nx + 1
+            col = sc % nx + 1
+            g["slot"] = jnp.where(valid, (row * K + rank) * nxp + col,
+                                  (ny + 2) * K * nxp)
+            occ = jnp.minimum(start[1:] - start[:-1], K).reshape(ny, nx)
+            rowmax = occ.max(axis=1).astype(jnp.int32)
+            g["rm"] = jnp.concatenate([jnp.zeros((1,), jnp.int32), rowmax,
+                                       jnp.zeros((1,), jnp.int32)])
+        else:
+            g["slot"] = jnp.where(valid, sc * K + rank, ncells * K)
+        return g
+
+    _PSIZE = (ny + 2) * K * nxp      # flat size of the pallas-layout grid
 
     def to_dense(grid, fields: dict):
-        """Scatter per-particle fields into padded dense grids
-        [K, ny+2, nx+2] (1-cell zero apron for neighbor slicing). One scatter
-        of NL indices per field — benchmarked faster than both a packed
+        """Scatter per-particle fields into padded dense grids — XLA layout
+        [ny+2, nx+2, K], Pallas layout [ny+2, K, nx+2]. One scatter of NL
+        indices per field — benchmarked faster than both a packed
         multi-field scatter payload and a [K, ncells]-index gather build."""
         out = {}
         for name, field in fields.items():
-            flat = jnp.zeros((ncells * K + 1,), field.dtype)
-            flat = flat.at[grid["slot"]].set(field[grid["order"]],
-                                             mode="drop")
-            d = flat[:ncells * K].reshape(ny, nx, K)
-            out[name] = jnp.pad(d, ((1, 1), (1, 1), (0, 0)))
+            if use_pallas:
+                flat = jnp.zeros((_PSIZE + 1,), field.dtype)
+                flat = flat.at[grid["slot"]].set(field[grid["order"]],
+                                                 mode="drop")
+                out[name] = flat[:_PSIZE].reshape(ny + 2, K, nxp)
+            else:
+                flat = jnp.zeros((ncells * K + 1,), field.dtype)
+                flat = flat.at[grid["slot"]].set(field[grid["order"]],
+                                                 mode="drop")
+                d = flat[:ncells * K].reshape(ny, nx, K)
+                out[name] = jnp.pad(d, ((1, 1), (1, 1), (0, 0)))
         return out
 
     def from_dense(grid, dense_padded_list):
         """Read back per-particle values from padded dense grids."""
         outs = []
         for dense_padded in dense_padded_list:
-            flat = dense_padded[1:-1, 1:-1].reshape(ncells * K)
-            vals = flat[jnp.clip(grid["slot"], 0, ncells * K - 1)]
+            if use_pallas:
+                flat = dense_padded.reshape(_PSIZE)
+                vals = flat[jnp.clip(grid["slot"], 0, _PSIZE - 1)]
+            else:
+                flat = dense_padded[1:-1, 1:-1].reshape(ncells * K)
+                vals = flat[jnp.clip(grid["slot"], 0, ncells * K - 1)]
             vals = jnp.where(grid["valid"], vals, 0.0)
             out = jnp.zeros((NL,), vals.dtype)
             outs.append(out.at[grid["order"]].set(vals))
@@ -278,6 +306,38 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
 
     def _nbr(v):       # [ny, nx, K] -> [ny, nx, 1, K]
         return v[..., None, :]
+
+    if use_pallas:
+        from ...ops.pallas_sph import make_density, make_force
+        # interpret mode lets the TPU kernels run (slowly) on other backends
+        # when explicitly requested, e.g. for cross-checking in CPU tests
+        _interp = jax.default_backend() != "tpu"
+        _pl_density = make_density(ny, nx, K, h, POLY6, interpret=_interp)
+        _pl_force = make_force(ny, nx, K, h, SPIKY, VISC, fc.viscosity,
+                               nm.min_distance_threshold,
+                               nm.min_density_threshold, interpret=_interp)
+
+    def _eos(rho):
+        return jnp.maximum(fc.stiffness * (rho - fc.rest_density), 0.0)
+
+    def density_pass_pl(x, y, mass, grid):
+        D = to_dense(grid, dict(x=x, y=y, m=mass, occ=jnp.ones_like(x)))
+        rho_rows = _pl_density(grid["rm"], D["x"], D["y"], D["m"], D["occ"])
+        rho_pad = jnp.pad(rho_rows, ((1, 1), (0, 0), (0, 0)))
+        (rho,) = from_dense(grid, [rho_pad])
+        rho = jnp.where(grid["pvalid"], rho, mass * POLY6 * (h * h) ** 3)
+        D["rho"] = rho_pad
+        D["p"] = _eos(rho_pad)
+        return rho, _eos(rho), D
+
+    def force_pass_pl(vx, vy, D, grid):
+        D2 = to_dense(grid, dict(vx=vx, vy=vy))
+        fx_rows, fy_rows = _pl_force(
+            grid["rm"], D["x"], D["y"], D2["vx"], D2["vy"], D["m"],
+            D["rho"], D["p"], D["occ"])
+        pad = lambda v: jnp.pad(v, ((1, 1), (0, 0), (0, 0)))
+        fx_p, fy_p = from_dense(grid, [pad(fx_rows), pad(fy_rows)])
+        return fx_p, fy_p
 
     def density_pass(x, y, mass, grid):
         """Returns (rho, pres, D): particle-order density/pressure plus the
@@ -547,11 +607,13 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             if _ablate == "grid":
                 rho = jnp.where(grid["pvalid"], 1.0, 0.0)
                 return dict(cr, x=x1, y=y1, vx=vhx, vy=vhy, rho=rho)
-            rho, pres, D = density_pass(x1, y1, mass, grid)
+            dpass = density_pass_pl if use_pallas else density_pass
+            fpass = force_pass_pl if use_pallas else force_pass
+            rho, pres, D = dpass(x1, y1, mass, grid)
             if _ablate == "density":
                 return dict(cr, x=x1, y=y1, vx=vhx, vy=vhy,
                             rho=rho, pres=pres)
-            fx, fy = force_pass(cr["vx"], cr["vy"], D, grid)
+            fx, fy = fpass(cr["vx"], cr["vy"], D, grid)
             ax, ay = fx, fy
             if _ablate == "nocouple":
                 vx1 = vhx + half_dt * ax

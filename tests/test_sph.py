@@ -75,6 +75,26 @@ def test_eos_pressure_clamped_nonnegative():
     assert (p == 0.0).all()
 
 
+def test_pallas_pair_kernels_match_xla():
+    """The Pallas row-band kernels (ops/pallas_sph.py) against the XLA
+    cell-dense path, interpret mode on CPU; bitwise-level agreement up to
+    neighbor-sum reassociation."""
+    import dataclasses
+    from lpe_tpu.systems.fluid import make_fluid
+    sc = _fluid_pair_scene((3.0, 3.0), (3.02, 3.01), num_sub_steps=2)
+    outs = {}
+    for backend in ("xla", "pallas"):
+        fl = dataclasses.replace(sc.cfg.fluid, pair_backend=backend)
+        step = make_fluid(sc.spec, sc.cfg.replace(fluid=fl))
+        outs[backend] = step(sc.state)
+    px = np.asarray(outs["xla"].bodies.pos)
+    pp = np.asarray(outs["pallas"].bodies.pos)
+    rx = np.asarray(outs["xla"].bodies.density)
+    rp = np.asarray(outs["pallas"].bodies.density)
+    assert np.allclose(px, pp, atol=1e-6)
+    assert np.allclose(rx, rp, rtol=1e-5)
+
+
 def test_grid_neighbor_count_cap_is_deterministic():
     # 200 particles in one cell: run twice, identical results (the reference's
     # atomic 64-cap is racy; ours must be deterministic)
