@@ -86,12 +86,18 @@ class DampeningConfig:
 class BarnesHutConfig:
     """reference: include/systems/barnes_hut.hpp:28-46."""
 
-    theta: float = 0.5
+    theta: float = 0.5               # parity field; the TPU far-field knob
+    #                                  is pm_grid (mesh smearing ~ theta err)
     small_mass_threshold: float = 1e3
-    # TPU rebuild knob: below this body count the O(N^2) MXU direct sum is
-    # both faster and *more* accurate than any tree; above it the
-    # level-ordered grid tree is used.
+    # TPU rebuild knobs: below this body count the O(N^2) direct sum is both
+    # faster and *more* accurate than any tree; above it the particle-mesh
+    # (FFT) far-field solver takes over (ops/pm_gravity.py).
     direct_sum_max_bodies: int = 131072
+    pm_grid: int = 1024
+    # bodies above this mass are solved exactly (direct), never meshed —
+    # keeps central stars/planets from being smeared by the grid
+    heavy_threshold: float = 1e28
+    heavy_cap: int = 16
 
 
 @dataclass(frozen=True)

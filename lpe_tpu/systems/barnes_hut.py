@@ -10,11 +10,13 @@ Pointer trees are hostile to the TPU; two replacements are provided:
    north-star scale this is faster than any tree walk on this hardware *and*
    exact (theta -> 0), strictly more accurate than the reference.
 
-2. **Level-ordered grid tree** (large N): Morton-binned mass pyramid built
-   with ``segment_sum`` per level and a fixed ring interaction list per level
-   — the classic FMM-style decomposition with only static shapes. (Added in
-   :mod:`lpe_tpu.ops.grid_tree`, used when N exceeds
-   ``BarnesHutConfig.direct_sum_max_bodies``.)
+2. **Particle-mesh far field** (large N, :mod:`lpe_tpu.ops.pm_gravity`):
+   CIC mass deposit -> FFT force convolution -> CIC gather, plus an exact
+   direct sum over the few *heavy* bodies (above
+   ``BarnesHutConfig.heavy_threshold``) so dominant central forces are never
+   smeared by the mesh. O(G^2 log G) independent of N; mesh smearing plays
+   the role of the theta-approximation error. Selected when capacity exceeds
+   ``BarnesHutConfig.direct_sum_max_bodies``.
 
 Semantics parity notes:
 - softened distance ``d2 = dx^2 + dy^2 + soft^2`` (barnes_hut.cpp:284-287)
@@ -85,6 +87,12 @@ def make_barnes_hut(spec: SceneSpec, cfg: ScenarioSystemConfig):
     base_dt = sh.seconds_per_tick
     n = spec.capacity
     chunk = max(128, min(n, (1 << 25) // max(n, 1) // 1 * 8))
+    use_pm = n > bh.direct_sum_max_bodies
+    if use_pm:
+        from ..ops.pm_gravity import make_heavy_direct, make_pm_gravity
+        pm = make_pm_gravity(size, bh.pm_grid, sh.gravitational_softener)
+        heavy_direct = make_heavy_direct(bh.heavy_cap,
+                                         sh.gravitational_softener)
 
     def step(state: SimState) -> SimState:
         b = state.bodies
@@ -95,7 +103,13 @@ def make_barnes_hut(spec: SceneSpec, cfg: ScenarioSystemConfig):
         if bh.small_mass_threshold > 0.0:
             src = src & (b.mass >= bh.small_mass_threshold)
         rcv = b.active & ~b.boundary
-        acc = _direct_sum_accel(b.pos, b.mass, src, rcv, soft2, chunk)
+        if use_pm:
+            heavy = src & (b.mass >= bh.heavy_threshold)
+            mesh_mass = jnp.where(src & ~heavy, b.mass, 0.0)
+            acc = pm(b.pos, mesh_mass) + heavy_direct(b.pos, b.mass, heavy)
+            acc = REAL_G * acc * rcv[:, None].astype(acc.dtype)
+        else:
+            acc = _direct_sum_accel(b.pos, b.mass, src, rcv, soft2, chunk)
         vel = b.vel + acc * dt
         return state.replace(bodies=b.replace(vel=vel))
 
