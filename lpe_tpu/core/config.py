@@ -122,7 +122,7 @@ class ContactSolverConfig:
     of tiny fused VPU ops, so the budget is raised rather than matched
     1:1."""
 
-    iterations: int = 40
+    iterations: int = 24
     friction_coeff: float = 0.5
     # relaxation for the mass-splitting Jacobi sweep that replaces the
     # (inherently sequential) Gauss-Seidel inner loop.
@@ -149,7 +149,10 @@ class RigidBodyConfig:
     position: PositionSolverConfig = _d(PositionSolverConfig)
     gjk_iterations: int = 32         # reference caps at 100 (gjk.cpp:99)
     epa_iterations: int = 24         # reference caps at 100 (epa.cpp:58)
-    max_contacts_per_pair: int = 8
+    # 2D convex pairs produce at most 2 meaningful manifold points; 4 leaves
+    # headroom for clipping artifacts. Solver row count (and cost) scales
+    # linearly with this.
+    max_contacts_per_pair: int = 4
     # Persistent cross-tick warm starting. The reference built the machinery
     # (ContactManager impulse caching, contact_manager.cpp:164-279) but
     # recreates the manager every tick so it never takes effect

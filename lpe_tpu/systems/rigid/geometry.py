@@ -48,6 +48,13 @@ def _dot2(a, b):
     return (a * b).sum(-1)
 
 
+def _select_row(rows, mask):
+    """rows[i] for the first i with mask[i], as masked sum — dynamic row
+    gathers are slow on TPU, first-match selects are pure vector math."""
+    first = mask & (jnp.cumsum(mask, axis=0) == 1)
+    return (rows * first[:, None]).sum(0)
+
+
 def support_shape(shape, d):
     """Furthest point of a shape in direction ``d``.
 
@@ -62,7 +69,7 @@ def support_shape(shape, d):
     c, s = jnp.cos(shape["angle"]), jnp.sin(shape["angle"])
     w = shape["pos"][None, :] + _rot(shape["verts"], c, s)      # [V,2]
     proj = jnp.where(shape["vmask"], w @ d, NEG)
-    p_poly = w[jnp.argmax(proj)]
+    p_poly = _select_row(w, proj == proj.max())
     return jnp.where(shape["is_circle"], p_circle, p_poly)
 
 
@@ -204,8 +211,10 @@ def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
     def body(_, st):
         active = ~st["done"]
         p, count = st["poly"], st["count"]
-        nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-        a, b = p, p[nxt]
+        # ring-next without a gather: roll, then fix the wrap at count-1
+        b = jnp.where((idx == count - 1)[:, None], p[0],
+                      jnp.roll(p, -1, axis=0))
+        a = p
         e = b - a
         n = jnp.stack([e[:, 1], -e[:, 0]], axis=-1)
         n = n / jnp.maximum(jnp.sqrt((n * n).sum(-1, keepdims=True)), 1e-30)
@@ -213,19 +222,19 @@ def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
         n = jnp.where((dist < 0)[:, None], -n, n)
         dist = jnp.abs(dist)
         dist = jnp.where(idx < count, dist, jnp.inf)
+        closest = dist.min()
+        en = _select_row(n, dist == closest)
         j = jnp.argmin(dist)
-        en = n[j]
-        closest = dist[j]
 
         sp = support_minkowski(sa, sb, en)
         d = _dot2(sp, en)
         converged = (d - closest) < eps * jnp.maximum(1.0, d)
 
-        # insert sp at position k = (j+1) % count
+        # insert sp at position k = (j+1) % count; p[idx-1] via roll
         k = jnp.where(j + 1 >= count, 0, j + 1)
         shifted = jnp.where((idx < k)[:, None], p,
                             jnp.where((idx == k)[:, None], sp,
-                                      p[jnp.maximum(idx - 1, 0)]))
+                                      jnp.roll(p, 1, axis=0)))
         cap_hit = count >= cap
 
         return dict(
@@ -248,19 +257,22 @@ def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
 # ---------------------------------------------------------------------------
 
 def _best_face(verts, mask, count, normal):
-    """Face whose outward normal best aligns with ``normal``.
+    """Face whose outward normal best aligns with ``normal``; returns the
+    face endpoints and unit normal (gather-free first-match selects).
     reference: narrowphase.cpp:126-146 (CCW face normal = rot90-left of edge).
     """
     V = verts.shape[0]
     idx = jnp.arange(V)
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    e = verts[nxt] - verts
+    ring_next = jnp.where((idx == count - 1)[:, None], verts[0],
+                          jnp.roll(verts, -1, axis=0))
+    e = ring_next - verts
     fn = jnp.stack([-e[:, 1], e[:, 0]], axis=-1)
     fn = fn / jnp.maximum(jnp.sqrt((fn * fn).sum(-1, keepdims=True)), 1e-30)
     d = (fn * normal[None, :]).sum(-1)
     d = jnp.where(mask, d, NEG)
-    i = jnp.argmax(d)
-    return i, fn[i]
+    best = d == d.max()
+    return (_select_row(verts, best), _select_row(ring_next, best),
+            _select_row(fn, best))
 
 
 def _clip_plane(poly, mask, count, pn, po, cap):
@@ -268,8 +280,9 @@ def _clip_plane(poly, mask, count, pn, po, cap):
     reference: narrowphase.cpp:204-234. Fixed-capacity, order-preserving."""
     V = poly.shape[0]
     idx = jnp.arange(V)
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    p1, p2 = poly, poly[nxt]
+    p1 = poly
+    p2 = jnp.where((idx == count - 1)[:, None], poly[0],
+                   jnp.roll(poly, -1, axis=0))
     d1 = (p1 * pn[None, :]).sum(-1) - po
     d2 = (p2 * pn[None, :]).sum(-1) - po
     in1 = d1 <= 0.0
@@ -303,9 +316,7 @@ def polygon_contacts(sa, sb, normal, max_contacts: int):
     """
     av, am, ac_count = world_verts(sa)
     bv, bm, bc_count = world_verts(sb)
-    i1, ref_n = _best_face(av, am, ac_count, normal)
-    i2 = jnp.where(i1 + 1 >= ac_count, 0, i1 + 1)
-    v1, v2 = av[i1], av[i2]
+    v1, v2, ref_n = _best_face(av, am, ac_count, normal)
     face_off = _dot2(ref_n, v1)
     edge = v2 - v1
     edge = edge / jnp.maximum(jnp.sqrt(_dot2(edge, edge)), 1e-30)
@@ -321,7 +332,11 @@ def polygon_contacts(sa, sb, normal, max_contacts: int):
     poly, mask, count = _clip_plane(poly, mask, count, bot_n, bot_o, cap)
 
     pen = -((poly * ref_n[None, :]).sum(-1) - face_off)
-    pts = poly[:max_contacts]
-    pen = pen[:max_contacts]
-    valid = mask[:max_contacts]
+    # keep the deepest max_contacts points (clip rings can exceed the cap;
+    # plain truncation could drop the penetrating points)
+    score = jnp.where(mask, pen, NEG)
+    _, top = jax.lax.top_k(score, max_contacts)
+    pts = poly[top]
+    pen = pen[top]
+    valid = mask[top]
     return pts, pen, valid

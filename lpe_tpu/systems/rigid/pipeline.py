@@ -162,6 +162,13 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         inv_i = jnp.where((inertia > 1e-12) & (inertia < 1e29),
                           1.0 / jnp.maximum(inertia, 1e-30), 0.0)
         if rc.warm_start:
+            if state.warm_normal.shape[0] < MAX_PAIRS or \
+                    state.warm_normal.shape[1] != C:
+                raise ValueError(
+                    f"warm-start cache {state.warm_normal.shape} does not fit "
+                    f"(max_pairs={MAX_PAIRS}, max_contacts={C}); the state "
+                    "was built with a different RigidBodyConfig — rebuild the "
+                    "scene with the same config or set warm_start=False")
             # only reuse impulses if this slot still holds the same pair
             same = (state.warm_ia[:MAX_PAIRS] == ia) & \
                    (state.warm_ib[:MAX_PAIRS] == ib)

@@ -1,5 +1,34 @@
-"""Unit tests for host-side polygon math (reference: include/math/polygon.hpp)."""
+"""Unit tests for host-side polygon math, coordinates, and debug stats
+(reference: include/math/polygon.hpp, include/core/{coordinates,debug}.hpp)."""
 import numpy as np
+
+
+def test_coordinates_roundtrip():
+    """reference: include/core/coordinates.hpp:16-93."""
+    from lpe_tpu.core.config import SharedSystemConfig
+    from lpe_tpu.core.coordinates import Coordinates
+    c = Coordinates(SharedSystemConfig(universe_size_m=6.0,
+                                       meters_per_pixel=0.01))
+    assert c.meters_to_pixels(3.0) == 300.0
+    assert c.pixels_to_meters(300.0) == 3.0
+    assert c.meters_to_normalized(3.0) == 0.5
+    assert c.normalized_to_meters(0.5) == 3.0
+    assert c.pixels_per_meter == 100.0
+
+
+def test_debug_stats_accumulators():
+    """reference: include/core/debug.hpp:22-50."""
+    from lpe_tpu.core.debug import DebugStats
+    d = DebugStats(enabled=True)
+    d.update_forces(np.array([1.0, 3.0, 2.0]))
+    d.update_movement(np.array([[3.0, 4.0], [0.0, 0.0]]))
+    assert d.max_force == 3.0 and d.force_count == 3
+    assert d.max_speed == 5.0
+    assert d.moving_particles == 1 and d.total_particles == 2
+    assert "max_speed" in d.report()
+    d2 = DebugStats()                 # disabled by default, like the
+    d2.update_forces([9.0])           # reference's ENABLE_DEBUG 0
+    assert d2.force_count == 0
 
 from lpe_tpu.math.polygon import (build_random_convex_polygon,
                                   build_random_polygon, build_regular_polygon,
