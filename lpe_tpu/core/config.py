@@ -110,6 +110,11 @@ class BroadphaseConfig:
     # TPU rebuild: fixed candidate-pair capacity (pairs beyond it are dropped
     # deterministically, mirroring the reference's silent 64/cell drop policy).
     max_pairs: int = 2048
+    # Above this solid count the all-pairs AABB matrix (O(S^2) + a huge
+    # nonzero compaction) is replaced by a uniform-grid broadphase with a
+    # dense side-channel for oversized solids (walls).
+    dense_max_solids: int = 1024
+    grid_max_per_cell: int = 32
 
 
 @dataclass(frozen=True)

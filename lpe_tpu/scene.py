@@ -68,6 +68,12 @@ class SceneSpec:
     # immutable at runtime, as in the reference where no system writes Mass)
     max_nonboundary_mass: float = 0.0
     max_mass_overall: float = 0.0
+    # static broadphase-grid facts (shapes are immutable; bounding radii are
+    # rotation-invariant): cell edge sized to the largest non-"big" solid,
+    # and the indices of the few oversized solids (walls etc.) that are
+    # paired densely instead of through the grid
+    solid_cell_size: float = 0.0
+    solid_big_idx: tuple = ()
     name: str = "scene"
 
     @property
@@ -184,11 +190,29 @@ class SceneBuilder:
         ns, ng, nl = (n_by_phase[int(Phase.SOLID)], n_by_phase[int(Phase.GAS)],
                       n_by_phase[int(Phase.LIQUID)])
         nb_mass = mass[:n][~boundary[:n]] if n else np.zeros(0)
+        # broadphase-grid statics: rotation-invariant bounding radius per
+        # solid; "big" solids (over ~3x the median, e.g. walls) are paired
+        # densely, the rest through a uniform grid of cells sized to cover
+        # the largest non-big AABB (see systems/rigid/pipeline.py)
+        cell_size, big_idx = 0.0, ()
+        if ns:
+            rb = np.where(
+                shape_kind[:ns] == int(ShapeKind.CIRCLE), radius[:ns],
+                np.linalg.norm(verts[:ns], axis=-1).max(-1))
+            med = np.median(rb[rb > 0]) if (rb > 0).any() else 1.0
+            big = np.flatnonzero(rb > 3.0 * med)
+            if big.size > 64:          # cap the dense block; the grid cell
+                big = big[np.argsort(-rb[big])[:64]]   # grows to cover rest
+            nonbig = np.setdiff1d(np.arange(ns), big)
+            max_nb = float(rb[nonbig].max()) if nonbig.size else float(med)
+            cell_size = max(2.0 * max_nb, 1e-9)
+            big_idx = tuple(int(i) for i in big)
         spec = SceneSpec(
             capacity=cap, n_entities=n, n_solid=ns, n_gas=ng, n_liquid=nl,
             solid_start=0, gas_start=ns, liquid_start=ns + ng,
             max_nonboundary_mass=float(nb_mass.max()) if nb_mass.size else 0.0,
             max_mass_overall=float(mass[:n].max()) if n else 0.0,
+            solid_cell_size=cell_size, solid_big_idx=big_idx,
             name=self.name,
         )
 

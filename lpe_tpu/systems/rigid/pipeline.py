@@ -18,6 +18,8 @@ solver. Here every stage is fixed-shape and fused into the jitted tick:
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -96,29 +98,144 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     C = rc.max_contacts_per_pair
     size = cfg.shared.universe_size_m
     buf = bp.boundary_buffer
+    use_grid_bp = S > bp.dense_max_solids
+
+    if use_grid_bp:
+        # static grid geometry: cells sized so every non-"big" AABB fits in
+        # one cell (bounding radii are rotation-invariant, computed at scene
+        # build; overlapping small-small pairs are then always within the
+        # 3x3 neighborhood — exact, like the dense matrix)
+        Kb = bp.grid_max_per_cell
+        cellb = spec.solid_cell_size
+        # the grid spans the universe plus one apron cell per side;
+        # out-of-universe bodies clamp into the apron cells (conservative —
+        # they still pair with each other and with edge cells). The
+        # reference's +-500 m tree buffer (broadphase.hpp:25-33) is handled
+        # by the in_root filter instead of by gridding empty space.
+        nbx = max(1, int(math.ceil(size / cellb))) + 2
+        while nbx * nbx > (1 << 20):        # cap table size; cell grows
+            cellb *= 2.0
+            nbx = max(1, int(math.ceil(size / cellb))) + 2
+        ncells_b = nbx * nbx
+        BIG = spec.solid_big_idx
+        NBIG = len(BIG)
+        big_ids = jnp.asarray(BIG, jnp.int32).reshape(NBIG)
+        is_big = jnp.zeros((S,), bool)
+        if NBIG:
+            is_big = is_big.at[jnp.asarray(BIG, jnp.int32)].set(True)
+
+    def _grid_broadphase(b, minx, miny, maxx, maxy, filt):
+        """Candidate pairs via a uniform grid over solid centers, plus a
+        dense block against the NBIG oversized solids. Exact for AABB
+        overlap (replaces the reference's quadtree query contract,
+        broadphase.cpp:232-288) up to the Kb per-cell cap."""
+        cx = b.pos[:S, 0]
+        cy = b.pos[:S, 1]
+        gx = jnp.clip(jnp.floor(cx / cellb).astype(jnp.int32) + 1,
+                      0, nbx - 1)
+        gy = jnp.clip(jnp.floor(cy / cellb).astype(jnp.int32) + 1,
+                      0, nbx - 1)
+        cid = jnp.where(is_big, ncells_b, gy * nbx + gx)
+        order = jnp.argsort(cid, stable=False)
+        counts = jnp.zeros((ncells_b + 1,), jnp.int32).at[cid].add(1)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(counts[:-1], dtype=jnp.int32)])
+        sc = cid[order]
+        rank_sorted = jnp.arange(S) - start[jnp.clip(sc, 0, ncells_b)]
+        tvalid = (sc < ncells_b) & (rank_sorted < Kb)
+        # table has one extra all-empty row: out-of-bounds neighbor reads
+        # clamp into it; invalid scatters go past the end (mode="drop")
+        slot = jnp.where(tvalid, sc * Kb + rank_sorted, (ncells_b + 1) * Kb)
+        table = jnp.full(((ncells_b + 1) * Kb,), S, jnp.int32)
+        table = table.at[slot].set(order.astype(jnp.int32), mode="drop")
+        my_rank = jnp.zeros((S,), jnp.int32).at[order].set(rank_sorted)
+
+        kb = jnp.arange(Kb)
+        cands = []
+        cmask = []
+        # forward half-stencil: same cell + E, SW, S, SE neighbors — each
+        # unordered cell pair is generated exactly once
+        for dx, dy in ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)):
+            jx = gx + dx
+            jy = gy + dy
+            ok = (jx >= 0) & (jx < nbx) & (jy >= 0) & (jy < nbx) & ~is_big
+            ncid = jnp.where(ok, jy * nbx + jx, ncells_b)
+            rows = table[ncid[:, None] * Kb + kb[None, :]]      # [S, Kb]
+            valid = rows < S
+            if (dx, dy) == (0, 0):
+                # same cell: table rows are rank-ordered, so "rank_j >
+                # rank_i" dedups without a gather
+                valid = valid & (kb[None, :] > my_rank[:, None])
+            cands.append(rows)
+            cmask.append(valid)
+        if NBIG:
+            rows = jnp.broadcast_to(big_ids[None, :], (S, NBIG))
+            i_idx = jnp.arange(S)[:, None]
+            # big-big pairs only once (i < j); big-small always from small i
+            valid = jnp.where(is_big[:, None], i_idx < rows, i_idx != rows)
+            cands.append(rows)
+            cmask.append(valid)
+        cand = jnp.concatenate(cands, axis=1)                   # [S, W]
+        valid = jnp.concatenate(cmask, axis=1)
+        W = cand.shape[1]
+
+        # per-pair filters: gather the partner's packed AABB+flags row once
+        packed = jnp.stack([minx, miny, maxx, maxy,
+                            filt.astype(minx.dtype)], axis=1)   # [S, 5]
+        pj = packed[jnp.clip(cand, 0, S - 1)]                   # [S, W, 5]
+        ox = (minx[:, None] <= pj[..., 2]) & (pj[..., 0] <= maxx[:, None])
+        oy = (miny[:, None] <= pj[..., 3]) & (pj[..., 1] <= maxy[:, None])
+        # filt bit 0: boundary, bit 1: small, bit 2: in_root
+        fj = pj[..., 4].astype(jnp.int32)
+        fi = filt[:, None].astype(jnp.int32)
+        both_bnd = ((fi & 1) & (fj & 1)) > 0
+        both_small = ((fi >> 1) & 1 & ((fj >> 1) & 1)) > 0
+        in_both = (((fi >> 2) & 1) & ((fj >> 2) & 1)) > 0
+        m = valid & ox & oy & ~both_bnd & ~both_small & in_both
+        (flat,) = jnp.nonzero(m.ravel(), size=MAX_PAIRS,
+                              fill_value=S * W)
+        pvalid = flat < S * W
+        flat = jnp.where(pvalid, flat, 0)
+        i0 = flat // W
+        j0 = cand.ravel()[flat]
+        ia = jnp.minimum(i0, j0)
+        ib = jnp.maximum(i0, j0)
+        ia = jnp.where(pvalid, ia, 0)
+        ib = jnp.where(pvalid, ib, 0)
+        return ia, ib, pvalid
 
     def step(state: SimState) -> SimState:
         b = state.bodies
         sh = _solid_shapes(b, S)
         minx, miny, maxx, maxy = _aabbs(sh)
         # --- broadphase -------------------------------------------------
-        ox = (minx[:, None] <= maxx[None, :]) & (minx[None, :] <= maxx[:, None])
-        oy = (miny[:, None] <= maxy[None, :]) & (miny[None, :] <= maxy[:, None])
-        iu = jnp.arange(S)[:, None] < jnp.arange(S)[None, :]
         bnd = b.boundary[:S]
-        both_bnd = bnd[:, None] & bnd[None, :]
         ext = jnp.maximum(maxx - minx, maxy - miny)
         small = ext < bp.small_particle_threshold
-        both_small = small[:, None] & small[None, :]
         in_root = (maxx >= -buf) & (minx <= size + buf) & \
                   (maxy >= -buf) & (miny <= size + buf)
-        in_both = in_root[:, None] & in_root[None, :]
-        m = ox & oy & iu & ~both_bnd & ~both_small & in_both
-        (flat,) = jnp.nonzero(m.ravel(), size=MAX_PAIRS, fill_value=S * S)
-        pvalid = flat < S * S
-        flat = jnp.where(pvalid, flat, 0)
-        ia = flat // S
-        ib = flat % S
+        if use_grid_bp:
+            filt = (bnd.astype(jnp.int32)
+                    | (small.astype(jnp.int32) << 1)
+                    | (in_root.astype(jnp.int32) << 2))
+            ia, ib, pvalid = _grid_broadphase(b, minx, miny, maxx, maxy,
+                                              filt)
+        else:
+            ox = (minx[:, None] <= maxx[None, :]) & \
+                 (minx[None, :] <= maxx[:, None])
+            oy = (miny[:, None] <= maxy[None, :]) & \
+                 (miny[None, :] <= maxy[:, None])
+            iu = jnp.arange(S)[:, None] < jnp.arange(S)[None, :]
+            both_bnd = bnd[:, None] & bnd[None, :]
+            both_small = small[:, None] & small[None, :]
+            in_both = in_root[:, None] & in_root[None, :]
+            m = ox & oy & iu & ~both_bnd & ~both_small & in_both
+            (flat,) = jnp.nonzero(m.ravel(), size=MAX_PAIRS,
+                                  fill_value=S * S)
+            pvalid = flat < S * S
+            flat = jnp.where(pvalid, flat, 0)
+            ia = flat // S
+            ib = flat % S
 
         # --- narrowphase --------------------------------------------------
         sa = _gather_shape(sh, ia)

@@ -8,7 +8,11 @@ TPU-native replacement: **mass-splitting projected Jacobi** (each body is
 virtually split across its contacts, so the per-row effective mass uses
 ``invMass * degree``; full impulses then sum to an average — the classic
 convergent parallel PGS substitute). Iterations run under ``lax.fori_loop``;
-impulse scatter is a deterministic ``segment_sum`` (no atomics, no races).
+impulse scatter is a deterministic ``.at[].add`` (no atomics, no races).
+
+Indexed ops (gathers/scatter-adds over the contact rows) are the per-
+iteration cost on TPU, so body state is packed as ``u = [vx, vy, omega]``
+([S,3]) — one gather per body side per sweep instead of one per component.
 
 Row construction matches the reference:
 - normal rows bounded [0, inf), no restitution (contact_solver.cpp:142-151)
@@ -32,8 +36,8 @@ def _cross2(a, b):
 
 def _contact_degree(ia, ib, valid, n_bodies):
     ones = valid.astype(jnp.float32)
-    d = jax.ops.segment_sum(ones, ia, n_bodies)
-    d += jax.ops.segment_sum(ones, ib, n_bodies)
+    d = jnp.zeros((n_bodies,), jnp.float32).at[ia].add(ones)
+    d = d.at[ib].add(ones)
     return jnp.maximum(d, 1.0)
 
 
@@ -61,53 +65,59 @@ def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
     eff_t = _eff_mass(tan, ra, rb, im_a * dg_a, im_b * dg_b,
                       ii_a * dg_a, ii_b * dg_b) * valid
 
-    def rel_vel(v, w, dirv):
-        va = v[ia] + jnp.stack([-w[ia] * ra[:, 1], w[ia] * ra[:, 0]], -1)
-        vb = v[ib] + jnp.stack([-w[ib] * rb[:, 1], w[ib] * rb[:, 0]], -1)
+    def rel_vel(u, dirv):
+        ua = u[ia]                                      # [rows, 3]
+        ub = u[ib]
+        va = ua[:, :2] + jnp.stack([-ua[:, 2] * ra[:, 1],
+                                    ua[:, 2] * ra[:, 0]], -1)
+        vb = ub[:, :2] + jnp.stack([-ub[:, 2] * rb[:, 1],
+                                    ub[:, 2] * rb[:, 0]], -1)
         return ((vb - va) * dirv).sum(-1)
 
-    def apply(v, w, dl, dirv):
-        ja = -dirv * (dl * im_a)[:, None]
-        jb = dirv * (dl * im_b)[:, None]
-        dwa = -_cross2(ra, dirv) * dl * ii_a
-        dwb = _cross2(rb, dirv) * dl * ii_b
-        v = v + jax.ops.segment_sum(ja, ia, S) + jax.ops.segment_sum(jb, ib, S)
-        w = w + jax.ops.segment_sum(dwa, ia, S) + jax.ops.segment_sum(dwb, ib, S)
-        return v, w
+    def apply(u, dl, dirv):
+        da = jnp.concatenate(
+            [-dirv * (dl * im_a)[:, None],
+             (-_cross2(ra, dirv) * dl * ii_a)[:, None]], axis=1)
+        db = jnp.concatenate(
+            [dirv * (dl * im_b)[:, None],
+             (_cross2(rb, dirv) * dl * ii_b)[:, None]], axis=1)
+        return u.at[ia].add(da).at[ib].add(db)
 
     relax = cfg.relaxation
     mu = cfg.friction_coeff
 
+    u = jnp.concatenate([vel, omega[:, None]], axis=1)  # [S, 3]
+
     # Warm start: cached impulses must be applied up front so the clamp
     # accumulators (which start at lam_*0) stay consistent with what the
     # velocities have actually received.
-    vel, omega = apply(vel, omega, jnp.where(valid, lam_n0, 0.0), nrm)
-    vel, omega = apply(vel, omega, jnp.where(valid, lam_t0, 0.0), tan)
+    u = apply(u, jnp.where(valid, lam_n0, 0.0), nrm)
+    u = apply(u, jnp.where(valid, lam_t0, 0.0), tan)
     lam_n0 = jnp.where(valid, lam_n0, 0.0)
     lam_t0 = jnp.where(valid, lam_t0, 0.0)
 
     def body(_, carry):
-        v, w, ln, lt = carry
+        u, ln, lt = carry
         # normal sweep
-        vn = rel_vel(v, w, nrm)
+        vn = rel_vel(u, nrm)
         dl = -eff_n * vn * relax
         new_ln = jnp.maximum(ln + dl, 0.0)
         dl = jnp.where(valid, new_ln - ln, 0.0)
-        v, w = apply(v, w, dl, nrm)
+        u = apply(u, dl, nrm)
         ln = jnp.where(valid, new_ln, ln)
         # friction sweep
         lim = mu * ln
-        vt = rel_vel(v, w, tan)
+        vt = rel_vel(u, tan)
         dlt = -eff_t * vt * relax
         new_lt = jnp.clip(lt + dlt, -lim, lim)
         dlt = jnp.where(valid, new_lt - lt, 0.0)
-        v, w = apply(v, w, dlt, tan)
+        u = apply(u, dlt, tan)
         lt = jnp.where(valid, new_lt, lt)
-        return v, w, ln, lt
+        return u, ln, lt
 
-    v, w, ln, lt = jax.lax.fori_loop(
-        0, cfg.iterations, body, (vel, omega, lam_n0, lam_t0))
-    return v, w, ln, lt
+    u, ln, lt = jax.lax.fori_loop(
+        0, cfg.iterations, body, (u, lam_n0, lam_t0))
+    return u[:, :2], u[:, 2], ln, lt
 
 
 def solve_position(pos, angle, inv_m, inv_i, ia, ib, n, pt, pen, valid,
@@ -124,10 +134,13 @@ def solve_position(pos, angle, inv_m, inv_i, ia, ib, n, pt, pen, valid,
     ii_a, ii_b = inv_i[ia], inv_i[ib]
     dg_a, dg_b = deg[ia], deg[ib]
 
-    def body(_, carry):
-        p, ang = carry
-        ra = pt - p[ia]
-        rb = pt - p[ib]
+    q0 = jnp.concatenate([pos, angle[:, None]], axis=1)  # [S, 3]
+
+    def body(_, q):
+        qa = q[ia]
+        qb = q[ib]
+        ra = pt - qa[:, :2]
+        rb = pt - qb[:, :2]
         ra_x = _cross2(ra, nrm)
         rb_x = _cross2(rb, nrm)
         denom = (im_a * dg_a + im_b * dg_b +
@@ -135,10 +148,11 @@ def solve_position(pos, angle, inv_m, inv_i, ia, ib, n, pt, pen, valid,
         scalar = jnp.where(act & (denom > 1e-12),
                            corr / jnp.maximum(denom, 1e-12), 0.0)
         d = nrm * scalar[:, None]
-        p = p - jax.ops.segment_sum(d * im_a[:, None], ia, S)
-        p = p + jax.ops.segment_sum(d * im_b[:, None], ib, S)
-        ang = ang - jax.ops.segment_sum(ra_x * scalar * ii_a, ia, S)
-        ang = ang + jax.ops.segment_sum(rb_x * scalar * ii_b, ib, S)
-        return p, ang
+        da = jnp.concatenate([-d * im_a[:, None],
+                              (-ra_x * scalar * ii_a)[:, None]], axis=1)
+        db = jnp.concatenate([d * im_b[:, None],
+                              (rb_x * scalar * ii_b)[:, None]], axis=1)
+        return q.at[ia].add(da).at[ib].add(db)
 
-    return jax.lax.fori_loop(0, cfg.iterations, body, (pos, angle))
+    q = jax.lax.fori_loop(0, cfg.iterations, body, q0)
+    return q[:, :2], q[:, 2]
