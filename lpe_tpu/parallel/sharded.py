@@ -60,7 +60,14 @@ def shard_state(mesh: Mesh, state: SimState) -> SimState:
 
 def build_sharded_tick(scene: Scene, mesh: Mesh, donate: bool = False):
     """Jitted tick with explicit input/output shardings over ``mesh``."""
-    tick = build_tick_fn(scene.spec, scene.cfg, jit=False)
+    cfg = scene.cfg
+    platform = mesh.devices.ravel()[0].platform
+    if platform != "tpu" and cfg.fluid.pair_backend == "auto":
+        # the auto Pallas selection keys off the *default* backend; a CPU
+        # mesh under a TPU-default process must fall back to the XLA path
+        cfg = cfg.replace(fluid=dataclasses.replace(cfg.fluid,
+                                                    pair_backend="xla"))
+    tick = build_tick_fn(scene.spec, cfg, jit=False)
     sh = state_shardings(mesh, scene.state)
     return jax.jit(tick, in_shardings=(sh,), out_shardings=sh,
                    donate_argnums=(0,) if donate else ())
