@@ -230,6 +230,11 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                                        jnp.zeros((1,), jnp.int32)])
         else:
             g["slot"] = jnp.where(valid, sc * K + rank, ncells * K)
+        # per-PARTICLE slots (one extra scatter here saves an order-gather
+        # per field in to_dense and the unsort scatter in from_dense)
+        sentinel = (ny + 2) * K * nxp if use_pallas else ncells * K
+        g["slot_p"] = jnp.full((NL,), sentinel, jnp.int32).at[order].set(
+            g["slot"].astype(jnp.int32))
         return g
 
     _PSIZE = (ny + 2) * K * nxp      # flat size of the pallas-layout grid
@@ -237,36 +242,33 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     def to_dense(grid, fields: dict):
         """Scatter per-particle fields into padded dense grids — XLA layout
         [ny+2, nx+2, K], Pallas layout [ny+2, K, nx+2]. One scatter of NL
-        indices per field — benchmarked faster than both a packed
-        multi-field scatter payload and a [K, ncells]-index gather build."""
+        particle-order indices per field (slot_p folds the sort permutation
+        into the scatter indices, so no order-gather per field)."""
         out = {}
         for name, field in fields.items():
             if use_pallas:
                 flat = jnp.zeros((_PSIZE + 1,), field.dtype)
-                flat = flat.at[grid["slot"]].set(field[grid["order"]],
-                                                 mode="drop")
+                flat = flat.at[grid["slot_p"]].set(field, mode="drop")
                 out[name] = flat[:_PSIZE].reshape(ny + 2, K, nxp)
             else:
                 flat = jnp.zeros((ncells * K + 1,), field.dtype)
-                flat = flat.at[grid["slot"]].set(field[grid["order"]],
-                                                 mode="drop")
+                flat = flat.at[grid["slot_p"]].set(field, mode="drop")
                 d = flat[:ncells * K].reshape(ny, nx, K)
                 out[name] = jnp.pad(d, ((1, 1), (1, 1), (0, 0)))
         return out
 
     def from_dense(grid, dense_padded_list):
-        """Read back per-particle values from padded dense grids."""
+        """Read back per-particle values from padded dense grids — one
+        particle-order gather per field, no unsort scatter."""
         outs = []
         for dense_padded in dense_padded_list:
             if use_pallas:
                 flat = dense_padded.reshape(_PSIZE)
-                vals = flat[jnp.clip(grid["slot"], 0, _PSIZE - 1)]
+                vals = flat[jnp.clip(grid["slot_p"], 0, _PSIZE - 1)]
             else:
                 flat = dense_padded[1:-1, 1:-1].reshape(ncells * K)
-                vals = flat[jnp.clip(grid["slot"], 0, ncells * K - 1)]
-            vals = jnp.where(grid["valid"], vals, 0.0)
-            out = jnp.zeros((NL,), vals.dtype)
-            outs.append(out.at[grid["order"]].set(vals))
+                vals = flat[jnp.clip(grid["slot_p"], 0, ncells * K - 1)]
+            outs.append(jnp.where(grid["pvalid"], vals, 0.0))
         return outs
 
     # Unrolled offsets fuse better (notably on the CPU test backend), but
