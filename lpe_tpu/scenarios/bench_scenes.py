@@ -102,3 +102,48 @@ def build_galaxy(n_bodies: int = 100000, seed: int = 0, dtype=None) -> Scene:
     from .keplerian_disk import KeplerianDiskConfig, build
     return build(seed=seed, ec=KeplerianDiskConfig(particle_count=n_bodies),
                  dtype=dtype)
+
+
+def build_coupled_dam(n_fluid: int = 20000, n_rigid: int = 50,
+                      seed: int = 0, dtype=None) -> Scene:
+    """Two-way coupling at scale: the dam-break column plus rigid polygons
+    dropped into the spill path (FLUID_AND_POLYGONS physics, larger N)."""
+    import jax.numpy as jnp
+    scale = math.sqrt(n_fluid / 20000.0)
+    base = build_dam_break(n_fluid, seed=seed, dtype=dtype)
+    size = base.cfg.shared.universe_size_m
+    rng = np.random.default_rng(seed + 1)
+    b = SceneBuilder(f"COUPLED_DAM_{n_fluid}_{n_rigid}")
+    add_tank_walls(b, size, 0.05 * scale, 1e30, 0.0, 0.0)
+    for _ in range(n_rigid):
+        sz = rng.uniform(0.04, 0.08) * scale * 4.0
+        verts = build_regular_polygon(5, sz)
+        mass = 2.0 * scale * scale
+        b.add(pos=(rng.uniform(size * 0.45, size * 0.95),
+                   rng.uniform(size * 0.1, size * 0.4)),
+              mass=mass, phase=int(Phase.SOLID), has_sleep=True,
+              shape_kind=int(ShapeKind.POLYGON), radius=sz, verts=verts,
+              inertia=calculate_polygon_inertia(verts, mass),
+              color=(200, 160, 40))
+    # fluid column (same layout as the dam break)
+    cfg = base.cfg.replace(rigid=RigidBodyConfig(
+        broadphase=BroadphaseConfig(max_pairs=max(256, 8 * n_rigid))))
+    x_min, x_max = 0.16 * scale, size * 0.35
+    y_min, y_max = size * 0.2, size - 0.16 * scale
+    area = (x_max - x_min) * (y_max - y_min)
+    spacing = math.sqrt(area / n_fluid)
+    mass_f = 0.005 * (spacing / 0.0742) ** 2
+    n_cols = int((x_max - x_min) / spacing)
+    count = 0
+    for row in range((n_fluid + n_cols - 1) // n_cols):
+        for col in range(n_cols):
+            if count >= n_fluid:
+                break
+            b.add(pos=(x_min + (col + 0.5) * spacing,
+                       y_max - (row + 0.5) * spacing),
+                  mass=mass_f, phase=int(Phase.LIQUID),
+                  shape_kind=int(ShapeKind.CIRCLE), radius=0.02,
+                  static_friction=0.0, dynamic_friction=0.0,
+                  color=(20, 20 + count % 50, 200 + count % 55))
+            count += 1
+    return b.finalize(cfg, dtype=dtype or jnp.float32)

@@ -103,6 +103,25 @@ def test_galton_board_content():
     assert np.allclose(np.asarray(b.radius)[dyn], 0.025)
 
 
+def test_bench_scenes_build_and_tick():
+    """The 5 benchmark configs from BASELINE.md all build and tick finite."""
+    import jax
+    from lpe_tpu.scenarios.bench_scenes import (build_coupled_dam,
+                                                build_dam_break,
+                                                build_galaxy,
+                                                build_rigid_stacks)
+    from lpe_tpu.systems import build_tick_fn
+    from _util import light_cfg
+    for sc in (build_dam_break(300, seed=0),
+               build_rigid_stacks(60, seed=0),
+               build_galaxy(500, seed=0),
+               build_coupled_dam(300, 5, seed=0)):
+        tick = build_tick_fn(sc.spec, light_cfg(sc.cfg, 16), donate=False)
+        s = tick(tick(sc.state))
+        act = np.asarray(s.bodies.active)
+        assert np.isfinite(np.asarray(s.bodies.pos)[act]).all(), sc.spec.name
+
+
 def test_determinism_and_seed_sensitivity():
     a = create_scenario(ST.RANDOM_POLYGONS, seed=7)
     b = create_scenario(ST.RANDOM_POLYGONS, seed=7)
