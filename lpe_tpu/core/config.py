@@ -127,7 +127,7 @@ class ContactSolverConfig:
     of tiny fused VPU ops, so the budget is raised rather than matched
     1:1."""
 
-    iterations: int = 24
+    iterations: int = 16
     friction_coeff: float = 0.5
     # relaxation for the mass-splitting Jacobi sweep that replaces the
     # (inherently sequential) Gauss-Seidel inner loop.
@@ -139,7 +139,7 @@ class PositionSolverConfig:
     """reference: include/systems/rigid/position_solver.hpp:21-35 (10 iters
     there; raised for the parallel Jacobi scheme, see ContactSolverConfig)."""
 
-    iterations: int = 16
+    iterations: int = 8
     baumgarte: float = 0.02
     slop: float = 0.001
 
