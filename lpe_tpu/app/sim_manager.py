@@ -92,6 +92,16 @@ class SimManager:
                 self.state = self.tick_fn(self.state)
             self.stats.ticks += n
 
+    def trace(self, log_dir: str, ticks: int = 10):
+        """Capture a device profile of ``ticks`` ticks (jax.profiler trace;
+        view with TensorBoard/XProf). The TPU analog of the reference's
+        hierarchical profiler printouts for the jitted portion of a tick
+        (host-side phases are covered by core/profiler.py scopes)."""
+        with jax.profiler.trace(log_dir):
+            self.tick(ticks)
+            jax.block_until_ready(self.state.bodies.pos)
+        return log_dir
+
     def render_frame(self, width: int = 600, height: int = 600) -> np.ndarray:
         if self._renderer is None:
             self._renderer = make_renderer(self.scene.spec, self.scene.cfg,

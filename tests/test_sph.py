@@ -75,6 +75,30 @@ def test_eos_pressure_clamped_nonnegative():
     assert (p == 0.0).all()
 
 
+def test_momentum_conserved_by_pair_forces():
+    """Newton's 3rd law over the whole blob: with gravity off and no walls,
+    SPH pressure/viscosity forces must conserve total linear momentum
+    (the reference's symmetrized pressure term, metal:362-396)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_render_io import _drop_scene
+    from lpe_tpu.systems import build_tick_fn
+    sc = _drop_scene()
+    cfg = sc.cfg.replace(gravity=dataclasses.replace(
+        sc.cfg.gravity, gravitational_acceleration=0.0))
+    tick = build_tick_fn(sc.spec, cfg, donate=False)
+    liq = sc.spec.liquid_slice
+    m = np.asarray(sc.state.bodies.mass)[liq]
+    p0 = (m[:, None] * np.asarray(sc.state.bodies.vel)[liq]).sum(0)
+    s = sc.state
+    for _ in range(5):
+        s = tick(s)
+    p1 = (m[:, None] * np.asarray(s.bodies.vel)[liq]).sum(0)
+    scale = (np.abs(m[:, None] * np.asarray(s.bodies.vel)[liq])).sum()
+    assert np.abs(p1 - p0).max() < 1e-4 * max(scale, 1e-30)
+
+
 def test_pallas_pair_kernels_match_xla():
     """The Pallas row-band kernels (ops/pallas_sph.py) against the XLA
     cell-dense path, interpret mode on CPU; bitwise-level agreement up to
