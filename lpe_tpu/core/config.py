@@ -250,6 +250,15 @@ class FluidConfig:
     # rows + occupancy-bounded loops), plain XLA elsewhere; "xla"/"pallas"
     # force one. Results agree up to float reassociation of neighbor sums.
     pair_backend: str = "auto"
+    # Grid residency across sub-steps: "auto" = on for TPU, off elsewhere;
+    # "on"/"off" force it. When on, particle state lives in the dense
+    # [cells, K] grid tensor for the whole tick and per-sub-step cell
+    # migration is a dense one-hot compaction over the 3x3 neighborhood —
+    # zero per-sub-step sort/scatter/gather (the indexed-op machinery is the
+    # measured cost floor on TPU, not the pair math). Same first-K-per-cell
+    # drop contract as the scatter path; pair sums reassociate, so results
+    # match the scatter path to float tolerance, not bitwise.
+    residency: str = "auto"
 
 
 @dataclass(frozen=True)

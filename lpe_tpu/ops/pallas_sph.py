@@ -1,21 +1,25 @@
 """Pallas TPU kernels for the SPH pair passes (density, forces).
 
 The XLA cell-dense path (systems/fluid/sph.py) computes all ``ncells*K*K*9``
-pair slots unconditionally. These kernels walk the grid row by row with the
-3-row band resident in VMEM and cut the two big wastes:
+pair slots unconditionally. These kernels walk a 2-D (row, x-tile) grid with
+the 3x3 tile neighborhood resident in VMEM and cut the two big wastes:
 
-- **empty rows**: a scalar-prefetched per-row occupancy table lets a program
-  skip its row entirely (``pl.when``) — dam-break/tank scenes leave most of
-  the universe empty;
-- **occupancy slack**: the neighbor-slot loop runs to each row's actual
-  max occupancy instead of the static cap K (typical occupancy is ~6 of 16).
+- **empty tiles**: a scalar-prefetched per-(row, tile) occupancy table lets a
+  program skip its tile entirely (``pl.when``) — dam-break/tank scenes leave
+  most of the universe empty, and at large N a row-only skip still pays for
+  every empty column of an occupied row (the fluid column fills ~1/3 of x);
+- **occupancy slack**: the neighbor-slot loop masks to each source row-tile
+  neighborhood's actual max occupancy instead of the static cap K.
 
 Math is bit-identical to the XLA path (poly6 density + EOS clamp, symmetric
 spiky pressure + viscosity Laplacian; reference: fluid_kernels.metal:246-403)
 up to float reassociation of the neighbor sum.
 
-Dense layout here is [ny+2, K, nx+2] (row, slot, x): each program's slab is
-a [K, nx+2] tile with VPU lanes along x.
+Data layout: inputs are field-stacked ``[F, ny+2, K, nxp_t]`` where
+``nxp_t = NT*TX`` is the padded-to-tile x extent (zero columns past nxp);
+each program's blocks are ``[F, 1, K, TX]`` for the 3x3 (row, tile)
+neighborhood. Cross-tile column halos are assembled in-kernel from the
+neighbor tiles' edge columns (occupancy zeroed at the grid's outer tiles).
 """
 from __future__ import annotations
 
@@ -26,197 +30,201 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+TILE_X = 128          # lane width; x-tiles per kernel program
 
-def _band_specs(n_fields: int, K: int, nxp: int):
-    """3 row-offset BlockSpecs per field, field-major ordering."""
+
+def _in_specs(F: int, K: int, TX: int, NT: int):
+    """9 (row-offset, tile-offset) BlockSpecs over [F, ny+2, K, NT*TX]."""
     specs = []
-    for _ in range(n_fields):
-        for r in (0, 1, 2):
-            specs.append(pl.BlockSpec(
-                (1, K, nxp), functools.partial(
-                    lambda j, rm, r=r: (j + r, 0, 0)),
-                memory_space=pltpu.VMEM))
+    for r in (0, 1, 2):
+        for c in (-1, 0, 1):
+            def imap(j, t, rm, r=r, c=c):
+                return (0, j + r, 0, jnp.clip(t + c, 0, NT - 1))
+            specs.append(pl.BlockSpec((F, 1, K, TX), imap,
+                                      memory_space=pltpu.VMEM))
     return specs
 
 
-def _density_kernel(h2, poly6, K, nxp, rm_ref, *refs):
-    (x0, x1, x2, y0, y1, y2, m0, m1, m2, o0, o1, o2, out) = refs
-    nx = nxp - 2
+def _row_blocks(refs):
+    """Group the 9 input refs as rows of (left, center, right) tiles."""
+    return ((refs[0], refs[1], refs[2]),
+            (refs[3], refs[4], refs[5]),
+            (refs[6], refs[7], refs[8]))
+
+
+def _ext(bl, bm, br, f, K, TX, zero_halo=None):
+    """[K, TX+2] columns: neighbor tiles' edge columns glued onto the center
+    tile. ``zero_halo``: (t, NT) to zero the halo at the grid's outer tiles
+    (the clamped neighbor block duplicates the center there)."""
+    L = bl[f, 0, :, TX - 1:TX]
+    C = bm[f, 0]
+    R = br[f, 0, :, :1]
+    if zero_halo is not None:
+        t, NT = zero_halo
+        L = jnp.where(t == 0, 0.0, L)
+        R = jnp.where(t == NT - 1, 0.0, R)
+    return jnp.concatenate([L, C, R], axis=-1)
+
+
+def _src_bound(rm_ref, row, t, NT):
+    """Max occupancy over the 3-tile neighborhood of a source row."""
+    b = jnp.maximum(rm_ref[row, jnp.clip(t - 1, 0, NT - 1)],
+                    rm_ref[row, t])
+    return jnp.maximum(b, rm_ref[row, jnp.clip(t + 1, 0, NT - 1)])
+
+
+def _density_kernel(h2, poly6, K, TX, NT, rm_ref, *refs):
+    rows = _row_blocks(refs[:9])
+    out = refs[9]
     j = pl.program_id(0)
+    t = pl.program_id(1)
 
-    @pl.when(rm_ref[j + 1] == 0)
+    @pl.when(rm_ref[j + 1, t] == 0)
     def _():
-        out[0] = jnp.zeros((K, nxp), out.dtype)
+        out[0] = jnp.zeros((K, TX), out.dtype)
 
-    @pl.when(rm_ref[j + 1] > 0)
+    @pl.when(rm_ref[j + 1, t] > 0)
     def _():
-        cx = x1[0, :, 1:-1][:, None, :]        # [K, 1, nx] center cells
-        cy = y1[0, :, 1:-1][:, None, :]
-
-        def row_sum(xr, yr, mr, orr, bound, acc):
-            # all K neighbor slots at once ([K,K,nx] broadcast); slots past
-            # the row's occupancy bound are masked, not skipped — static
-            # shapes vectorize better than a dynamic k2 loop on the VPU
-            k2 = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
-            live = k2 < bound
+        FX, FY, FM, FO = 0, 1, 2, 3
+        ctr = rows[1][1]
+        cx = ctr[FX, 0][:, None, :]            # [K, 1, TX] center cells
+        cy = ctr[FY, 0][:, None, :]
+        k2 = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+        acc = jnp.zeros((K, TX), out.dtype)
+        for r, (bl, bm, br) in enumerate(rows):
+            ex = _ext(bl, bm, br, FX, K, TX)
+            ey = _ext(bl, bm, br, FY, K, TX)
+            em = _ext(bl, bm, br, FM, K, TX)
+            eo = _ext(bl, bm, br, FO, K, TX, (t, NT))
+            live = k2 < _src_bound(rm_ref, j + r, t, NT)
             for dx in range(3):
-                nbx = xr[0, :, dx:dx + nx][None]       # [1, K, nx]
-                nby = yr[0, :, dx:dx + nx][None]
-                nbm = mr[0, :, dx:dx + nx][None]
-                nbo = orr[0, :, dx:dx + nx][None]
+                nbx = ex[:, dx:dx + TX][None]  # [1, K, TX]
+                nby = ey[:, dx:dx + TX][None]
+                nbm = em[:, dx:dx + TX][None]
+                nbo = eo[:, dx:dx + TX][None]
                 ddx = cx - nbx
                 ddy = cy - nby
                 r2 = ddx * ddx + ddy * ddy
                 w = jnp.where(live & (nbo > 0) & (r2 < h2),
                               poly6 * (h2 - r2) ** 3, 0.0)
                 acc = acc + (nbm * w).sum(1)
-            return acc
-
-        acc = jnp.zeros((K, nx), out.dtype)
-        acc = row_sum(x0, y0, m0, o0, rm_ref[j], acc)
-        acc = row_sum(x1, y1, m1, o1, rm_ref[j + 1], acc)
-        acc = row_sum(x2, y2, m2, o2, rm_ref[j + 2], acc)
         # the self pair (center row, dx=1, k1==k2) is INCLUDED: density
         # self-contributes in the reference (metal:284-295)
-        out[0] = jnp.zeros((K, nxp), out.dtype)
-        out[0, :, 1:-1] = acc
+        out[0] = acc
 
 
 def _force_kernel(h, h2, spiky, visc_lap, viscosity, min_d2, min_rho,
-                  K, nxp, rm_ref, *refs):
-    (x0, x1, x2, y0, y1, y2, vx0, vx1, vx2, vy0, vy1, vy2,
-     m0, m1, m2, r0, r1, r2_, p0, p1, p2, o0, o1, o2,
-     outx, outy) = refs
-    nx = nxp - 2
+                  K, TX, NT, rm_ref, *refs):
+    rows = _row_blocks(refs[:9])
+    outx, outy = refs[9], refs[10]
     j = pl.program_id(0)
+    t = pl.program_id(1)
 
-    @pl.when(rm_ref[j + 1] == 0)
+    @pl.when(rm_ref[j + 1, t] == 0)
     def _():
-        outx[0] = jnp.zeros((K, nxp), outx.dtype)
-        outy[0] = jnp.zeros((K, nxp), outy.dtype)
+        outx[0] = jnp.zeros((K, TX), outx.dtype)
+        outy[0] = jnp.zeros((K, TX), outy.dtype)
 
-    @pl.when(rm_ref[j + 1] > 0)
+    @pl.when(rm_ref[j + 1, t] > 0)
     def _():
-        cx = x1[0, :, 1:-1][:, None, :]
-        cy = y1[0, :, 1:-1][:, None, :]
-        cvx = vx1[0, :, 1:-1][:, None, :]
-        cvy = vy1[0, :, 1:-1][:, None, :]
-        crho = r1[0, :, 1:-1][:, None, :]
-        cp = p1[0, :, 1:-1][:, None, :]
-        cocc = o1[0, :, 1:-1][:, None, :]
+        FX, FY, FVX, FVY, FM, FR, FP, FO = range(8)
+        ctr = rows[1][1]
+        cx = ctr[FX, 0][:, None, :]
+        cy = ctr[FY, 0][:, None, :]
+        cvx = ctr[FVX, 0][:, None, :]
+        cvy = ctr[FVY, 0][:, None, :]
+        crho = ctr[FR, 0][:, None, :]
+        cp = ctr[FP, 0][:, None, :]
+        cocc = ctr[FO, 0][:, None, :]
         cterm = cp / jnp.maximum(crho * crho, 1e-30)
         k1 = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 0)
         k2i = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 1)
         diag = k1 == k2i
-
-        def row_sum(xr, yr, vxr, vyr, mr, rr, pr, orr, bound, is_center,
-                    acc):
-            fx_a, fy_a = acc
-            live = k2i[:1] < bound                      # [1, K, 1]
+        fx_a = jnp.zeros((K, TX), outx.dtype)
+        fy_a = jnp.zeros((K, TX), outy.dtype)
+        for r, (bl, bm, br) in enumerate(rows):
+            e = [_ext(bl, bm, br, f, K, TX) for f in range(7)]
+            eo = _ext(bl, bm, br, FO, K, TX, (t, NT))
+            live = k2i[:1] < _src_bound(rm_ref, j + r, t, NT)   # [1, K, 1]
             for dx in range(3):
-                nbx = xr[0, :, dx:dx + nx][None]
-                nby = yr[0, :, dx:dx + nx][None]
-                nbvx = vxr[0, :, dx:dx + nx][None]
-                nbvy = vyr[0, :, dx:dx + nx][None]
-                nbm = mr[0, :, dx:dx + nx][None]
-                nbrho = rr[0, :, dx:dx + nx][None]
-                nbp = pr[0, :, dx:dx + nx][None]
-                nbo = orr[0, :, dx:dx + nx][None]
+                sl = lambda a: a[:, dx:dx + TX][None]
+                nbx, nby = sl(e[FX]), sl(e[FY])
+                nbvx, nbvy = sl(e[FVX]), sl(e[FVY])
+                nbm, nbrho, nbp = sl(e[FM]), sl(e[FR]), sl(e[FP])
+                nbo = sl(eo)
                 ddx = cx - nbx
                 ddy = cy - nby
                 r2 = ddx * ddx + ddy * ddy
                 ok = live & (cocc * nbo > 0) & (r2 >= min_d2) & (r2 < h2) \
                     & (nbrho >= min_rho) & (crho >= min_rho)
-                if is_center and dx == 1:
+                if r == 1 and dx == 1:
                     ok = ok & ~diag
-                r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+                rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
                 term = cterm + nbp / jnp.maximum(nbrho * nbrho, 1e-30)
-                w_spiky = spiky * (h - r) ** 2
+                w_spiky = spiky * (h - rr) ** 2
                 f_press = -nbm * term * w_spiky
-                fx = f_press * ddx / r
-                fy = f_press * ddy / r
+                fx = f_press * ddx / rr
+                fy = f_press * ddy / rr
                 f_visc = viscosity * nbm * (
-                    visc_lap * (h - r) / jnp.maximum(nbrho, 1e-30))
+                    visc_lap * (h - rr) / jnp.maximum(nbrho, 1e-30))
                 fx = fx - f_visc * (cvx - nbvx)
                 fy = fy - f_visc * (cvy - nbvy)
                 fx_a = fx_a + jnp.where(ok, fx, 0.0).sum(1)
                 fy_a = fy_a + jnp.where(ok, fy, 0.0).sum(1)
-            return fx_a, fy_a
-
-        z = jnp.zeros((K, nx), outx.dtype)
-        acc = row_sum(x0, y0, vx0, vy0, m0, r0, p0, o0, rm_ref[j], False,
-                      (z, z))
-        acc = row_sum(x1, y1, vx1, vy1, m1, r1, p1, o1, rm_ref[j + 1], True,
-                      acc)
-        fx, fy = row_sum(x2, y2, vx2, vy2, m2, r2_, p2, o2, rm_ref[j + 2],
-                         False, acc)
-        outx[0] = jnp.zeros((K, nxp), outx.dtype)
-        outy[0] = jnp.zeros((K, nxp), outy.dtype)
-        outx[0, :, 1:-1] = fx
-        outy[0, :, 1:-1] = fy
+        outx[0] = fx_a
+        outy[0] = fy_a
 
 
-def make_density(ny: int, nx: int, K: int, h: float, poly6: float,
-                 dtype=jnp.float32, interpret: bool = False):
-    """Returns density(rm, Dx, Dy, Dm, Docc) -> rho rows [ny, K, nx+2].
-    Inputs are padded dense grids [ny+2, K, nx+2]; rm is the per-padded-row
-    occupancy bound [ny+2] int32 (<= K)."""
-    nxp = nx + 2
-    kern = functools.partial(_density_kernel, h * h, poly6, K, nxp)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+def _grid_spec(ny: int, NT: int, F: int, K: int, TX: int, n_out: int):
+    out_spec = pl.BlockSpec((1, K, TX), lambda j, t, rm: (j, 0, t),
+                            memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ny,),
-        in_specs=_band_specs(4, K, nxp),
-        out_specs=pl.BlockSpec((1, K, nxp), lambda j, rm: (j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid=(ny, NT),
+        in_specs=_in_specs(F, K, TX, NT),
+        out_specs=out_spec if n_out == 1 else [out_spec] * n_out,
     )
+
+
+def make_density(ny: int, NT: int, K: int, h: float, poly6: float,
+                 TX: int = TILE_X, dtype=jnp.float32,
+                 interpret: bool = False):
+    """Returns density(rm2, D4) -> rho rows [ny, K, NT*TX].
+
+    D4 is the field stack [4(x,y,m,occ), ny+2, K, NT*TX]; rm2 is the
+    per-(padded-row, tile) max cell occupancy [ny+2, NT] int32 (<= K)."""
+    kern = functools.partial(_density_kernel, h * h, poly6, K, TX, NT)
     call = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ny, K, nxp), dtype),
+        grid_spec=_grid_spec(ny, NT, 4, K, TX, 1),
+        out_shape=jax.ShapeDtypeStruct((ny, K, NT * TX), dtype),
         interpret=interpret,
     )
 
-    def density(rm, Dx, Dy, Dm, Docc):
-        args = []
-        for f in (Dx, Dy, Dm, Docc):
-            args += [f, f, f]
-        return call(rm, *args)
+    def density(rm2, D4):
+        return call(rm2, *([D4] * 9))
 
     return density
 
 
-def make_force(ny: int, nx: int, K: int, h: float, spiky: float,
+def make_force(ny: int, NT: int, K: int, h: float, spiky: float,
                visc_lap: float, viscosity: float, min_d2: float,
-               min_rho: float, dtype=jnp.float32, interpret: bool = False):
-    """Returns force(rm, Dx, Dy, Dvx, Dvy, Dm, Drho, Dp, Docc)
-    -> (fx, fy) rows [ny, K, nx+2]."""
-    nxp = nx + 2
+               min_rho: float, TX: int = TILE_X, dtype=jnp.float32,
+               interpret: bool = False):
+    """Returns force(rm2, D8) -> (fx, fy) rows [ny, K, NT*TX].
+
+    D8 is the field stack [8(x,y,vx,vy,m,rho,p,occ), ny+2, K, NT*TX]."""
     kern = functools.partial(_force_kernel, h, h * h, spiky, visc_lap,
-                             viscosity, min_d2, min_rho, K, nxp)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ny,),
-        in_specs=_band_specs(8, K, nxp),
-        out_specs=[
-            pl.BlockSpec((1, K, nxp), lambda j, rm: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, nxp), lambda j, rm: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
+                             viscosity, min_d2, min_rho, K, TX, NT)
     call = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((ny, K, nxp), dtype),
-                   jax.ShapeDtypeStruct((ny, K, nxp), dtype)],
+        grid_spec=_grid_spec(ny, NT, 8, K, TX, 2),
+        out_shape=[jax.ShapeDtypeStruct((ny, K, NT * TX), dtype),
+                   jax.ShapeDtypeStruct((ny, K, NT * TX), dtype)],
         interpret=interpret,
     )
 
-    def force(rm, Dx, Dy, Dvx, Dvy, Dm, Drho, Dp, Docc):
-        args = []
-        for f in (Dx, Dy, Dvx, Dvy, Dm, Drho, Dp, Docc):
-            args += [f, f, f]
-        return call(rm, *args)
+    def force(rm2, D8):
+        return call(rm2, *([D8] * 9))
 
     return force

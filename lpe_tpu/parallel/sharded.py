@@ -62,11 +62,17 @@ def build_sharded_tick(scene: Scene, mesh: Mesh, donate: bool = False):
     """Jitted tick with explicit input/output shardings over ``mesh``."""
     cfg = scene.cfg
     platform = mesh.devices.ravel()[0].platform
-    if platform != "tpu" and cfg.fluid.pair_backend == "auto":
-        # the auto Pallas selection keys off the *default* backend; a CPU
-        # mesh under a TPU-default process must fall back to the XLA path
-        cfg = cfg.replace(fluid=dataclasses.replace(cfg.fluid,
-                                                    pair_backend="xla"))
+    if platform != "tpu":
+        # the "auto" Pallas/residency selections key off the *default*
+        # backend; a CPU mesh under a TPU-default process must fall back to
+        # the XLA scatter path
+        repl = {}
+        if cfg.fluid.pair_backend == "auto":
+            repl["pair_backend"] = "xla"
+        if cfg.fluid.residency == "auto":
+            repl["residency"] = "off"
+        if repl:
+            cfg = cfg.replace(fluid=dataclasses.replace(cfg.fluid, **repl))
     tick = build_tick_fn(scene.spec, cfg, jit=False)
     sh = state_shardings(mesh, scene.state)
     return jax.jit(tick, in_shardings=(sh,), out_shardings=sh,

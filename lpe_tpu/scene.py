@@ -74,6 +74,14 @@ class SceneSpec:
     # paired densely instead of through the grid
     solid_cell_size: float = 0.0
     solid_big_idx: tuple = ()
+    # static max polygon vertex count over the non-liquid entities: the
+    # fluid-coupling kernels size their vertex loops to this instead of
+    # MAX_POLY_VERTS (walls are 4-gons; a 16-wide vert axis would 4x the
+    # point-in-polygon / closest-point work)
+    max_rigid_verts: int = constants.MAX_POLY_VERTS
+    # same for the solid slice only (rigid narrowphase/clipping); >= 8 when
+    # any solid circle exists (circles clip as 8-gons, narrowphase.cpp:56-67)
+    max_solid_verts: int = constants.MAX_POLY_VERTS
     name: str = "scene"
 
     @property
@@ -213,6 +221,10 @@ class SceneBuilder:
             max_nonboundary_mass=float(nb_mass.max()) if nb_mass.size else 0.0,
             max_mass_overall=float(mass[:n].max()) if n else 0.0,
             solid_cell_size=cell_size, solid_big_idx=big_idx,
+            max_rigid_verts=max(3, int(nverts[:ns + ng].max(initial=0))),
+            max_solid_verts=max(
+                3, int(nverts[:ns].max(initial=0)),
+                8 if (shape_kind[:ns] == int(ShapeKind.CIRCLE)).any() else 0),
             name=self.name,
         )
 

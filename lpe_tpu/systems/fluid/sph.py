@@ -62,13 +62,15 @@ def visc_laplacian_coeff_2d(h: float) -> float:
 # Rigid proxy extraction (reference: fluid.cpp:304-438 gatherRigidBodies)
 # ---------------------------------------------------------------------------
 
-def _rigid_proxies(b, NR):
+def _rigid_proxies(b, NR, VU=MAX_POLY_VERTS):
     """World-space rigid data for coupling: every non-liquid entity with a
-    shape participates (gas included, matching the reference's gather)."""
-    vmask = jnp.arange(MAX_POLY_VERTS)[None, :] < b.nverts[:NR, None]
+    shape participates (gas included, matching the reference's gather).
+    ``VU`` = the scene's static max vertex count (SceneSpec.max_rigid_verts):
+    the vertex axis is sized to the actual shapes, not the 16-vert cap."""
+    vmask = jnp.arange(VU)[None, :] < b.nverts[:NR, None]
     c = jnp.cos(b.angle[:NR])[:, None]
     s = jnp.sin(b.angle[:NR])[:, None]
-    v = b.verts[:NR]
+    v = b.verts[:NR, :VU]
     wx = b.pos[:NR, None, 0] + v[..., 0] * c - v[..., 1] * s
     wy = b.pos[:NR, None, 1] + v[..., 0] * s + v[..., 1] * c
     is_circle = b.shape_kind[:NR] == int(ShapeKind.CIRCLE)
@@ -197,10 +199,17 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     # hardware this is neutral on TPU (XLA picks its own tiling) and the
     # K-contiguous layout is dramatically faster on the CPU test backend.
     # ------------------------------------------------------------------
-    def build_grid(x, y):
+    def build_grid(x, y, clamp=False):
         gx, gy = cell_coords(x, y)
-        ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
-        cid = jnp.where(ok, gy * nx + gx, ncells)
+        if clamp:
+            # resident mode: every particle is assigned a (edge-clamped)
+            # cell so none are ever lost from the grid-resident state
+            gx = jnp.clip(gx, 0, nx - 1)
+            gy = jnp.clip(gy, 0, ny - 1)
+            cid = gy * nx + gx
+        else:
+            ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+            cid = jnp.where(ok, gy * nx + gx, ncells)
         # stable=False: TPU's stable argsort lowering is catastrophically
         # slow (measured ~4000x); instability only permutes equal cell-ids,
         # which changes nothing but the (deterministic) drop set when a cell
@@ -224,10 +233,6 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             col = sc % nx + 1
             g["slot"] = jnp.where(valid, (row * K + rank) * nxp + col,
                                   (ny + 2) * K * nxp)
-            occ = jnp.minimum(start[1:] - start[:-1], K).reshape(ny, nx)
-            rowmax = occ.max(axis=1).astype(jnp.int32)
-            g["rm"] = jnp.concatenate([jnp.zeros((1,), jnp.int32), rowmax,
-                                       jnp.zeros((1,), jnp.int32)])
         else:
             g["slot"] = jnp.where(valid, sc * K + rank, ncells * K)
         # per-PARTICLE slots (one extra scatter here saves an order-gather
@@ -310,21 +315,42 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         return v[..., None, :]
 
     if use_pallas:
-        from ...ops.pallas_sph import make_density, make_force
+        from ...ops.pallas_sph import TILE_X, make_density, make_force
+        _TX = TILE_X
+        _NT = -(-nxp // _TX)
+        _nxp_t = _NT * _TX
         # interpret mode lets the TPU kernels run (slowly) on other backends
         # when explicitly requested, e.g. for cross-checking in CPU tests
         _interp = jax.default_backend() != "tpu"
-        _pl_density = make_density(ny, nx, K, h, POLY6, interpret=_interp)
-        _pl_force = make_force(ny, nx, K, h, SPIKY, VISC, fc.viscosity,
+        _pl_density = make_density(ny, _NT, K, h, POLY6, interpret=_interp)
+        _pl_force = make_force(ny, _NT, K, h, SPIKY, VISC, fc.viscosity,
                                nm.min_distance_threshold,
                                nm.min_density_threshold, interpret=_interp)
+
+        def _padx(v):
+            return jnp.pad(v, ((0, 0), (0, 0), (0, _nxp_t - nxp)))
+
+        def _tile_bounds(occ):
+            """Per-(padded-row, x-tile) max cell occupancy [ny+2, NT]."""
+            counts = jnp.pad(occ.sum(axis=1), ((0, 0), (0, _nxp_t - nxp)))
+            return counts.reshape(ny + 2, _NT, _TX).max(-1).astype(jnp.int32)
+
+        def _d4_stack(D):
+            return jnp.stack([_padx(D[f]) for f in ("x", "y", "m", "occ")])
+
+        def _d8_stack(D4, vx_d, vy_d, rho_pad, p_pad):
+            return jnp.concatenate([
+                D4[:2], _padx(vx_d)[None], _padx(vy_d)[None], D4[2:3],
+                _padx(rho_pad)[None], _padx(p_pad)[None], D4[3:4]], axis=0)
 
     def _eos(rho):
         return jnp.maximum(fc.stiffness * (rho - fc.rest_density), 0.0)
 
     def density_pass_pl(x, y, mass, grid):
         D = to_dense(grid, dict(x=x, y=y, m=mass, occ=jnp.ones_like(x)))
-        rho_rows = _pl_density(grid["rm"], D["x"], D["y"], D["m"], D["occ"])
+        D["_rm2"] = _tile_bounds(D["occ"])
+        D["_D4"] = _d4_stack(D)
+        rho_rows = _pl_density(D["_rm2"], D["_D4"])[:, :, :nxp]
         rho_pad = jnp.pad(rho_rows, ((1, 1), (0, 0), (0, 0)))
         (rho,) = from_dense(grid, [rho_pad])
         rho = jnp.where(grid["pvalid"], rho, mass * POLY6 * (h * h) ** 3)
@@ -334,21 +360,17 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
 
     def force_pass_pl(vx, vy, D, grid):
         D2 = to_dense(grid, dict(vx=vx, vy=vy))
-        fx_rows, fy_rows = _pl_force(
-            grid["rm"], D["x"], D["y"], D2["vx"], D2["vy"], D["m"],
-            D["rho"], D["p"], D["occ"])
-        pad = lambda v: jnp.pad(v, ((1, 1), (0, 0), (0, 0)))
+        D8 = _d8_stack(D["_D4"], D2["vx"], D2["vy"], D["rho"], D["p"])
+        fx_rows, fy_rows = _pl_force(D["_rm2"], D8)
+        pad = lambda v: jnp.pad(v[:, :, :nxp], ((1, 1), (0, 0), (0, 0)))
         fx_p, fy_p = from_dense(grid, [pad(fx_rows), pad(fy_rows)])
         return fx_p, fy_p
 
-    def density_pass(x, y, mass, grid):
-        """Returns (rho, pres, D): particle-order density/pressure plus the
-        dense field dict, which the force pass extends in place — the
-        position/mass/occupancy scatters and the dense rho/pres are shared
-        between the two passes instead of being rebuilt (scatters are the
-        substep's dominant cost on TPU, not the pair math)."""
+    def density_core(D):
+        """Dense-in/dense-out poly6 density: D is the padded dense dict
+        (XLA layout [ny+2, nx+2, K]) with keys x, y, m, occ; returns the
+        interior rho [ny, nx, K]."""
         h2 = h * h
-        D = to_dense(grid, dict(x=x, y=y, m=mass, occ=jnp.ones_like(x)))
         ctr = lambda v: v[1:-1, 1:-1]
         sx, sy, socc = ctr(D["x"]), ctr(D["y"]), ctr(D["occ"])
 
@@ -360,7 +382,18 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             w = jnp.where(pair_ok & (r2 < h2), POLY6 * (h2 - r2) ** 3, 0.0)
             return rho + (_nbr(nbr["m"]) * w).sum(-1)
 
-        rho_dense = _offsets(D, step_fn, jnp.zeros_like(ctr(D["x"])))
+        fields = {k: D[k] for k in ("x", "y", "m", "occ")}
+        return _offsets(fields, step_fn, jnp.zeros_like(ctr(D["x"])))
+
+    def density_pass(x, y, mass, grid):
+        """Returns (rho, pres, D): particle-order density/pressure plus the
+        dense field dict, which the force pass extends in place — the
+        position/mass/occupancy scatters and the dense rho/pres are shared
+        between the two passes instead of being rebuilt (scatters are the
+        substep's dominant cost on TPU, not the pair math)."""
+        h2 = h * h
+        D = to_dense(grid, dict(x=x, y=y, m=mass, occ=jnp.ones_like(x)))
+        rho_dense = density_core(D)
         rho_pad = jnp.pad(rho_dense, ((1, 1), (1, 1), (0, 0)))
         (rho,) = from_dense(grid, [rho_pad])
         # overflow particles (rank >= K) at least see themselves, as in the
@@ -371,9 +404,11 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         D["p"] = jnp.maximum(fc.stiffness * (rho_pad - fc.rest_density), 0.0)
         return rho, pres, D
 
-    def force_pass(vx, vy, D, grid):
+    def force_core(D):
+        """Dense-in/dense-out spiky-pressure + viscosity forces: D has keys
+        x, y, vx, vy, m, rho, p, occ (padded, XLA layout); returns interior
+        (fx, fy) each [ny, nx, K]."""
         h2 = h * h
-        D = dict(D, **to_dense(grid, dict(vx=vx, vy=vy)))
         ctr = lambda v: v[1:-1, 1:-1]
         sx, sy = ctr(D["x"]), ctr(D["y"])
         svx, svy = ctr(D["vx"]), ctr(D["vy"])
@@ -409,10 +444,119 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             return fx_a + fx.sum(-1), fy_a + fy.sum(-1)
 
         z = jnp.zeros_like(sx)
-        fx_d, fy_d = _offsets(D, step_fn, (z, z))
+        fields = {k: D[k] for k in ("x", "y", "vx", "vy", "m", "rho", "p",
+                                    "occ")}
+        return _offsets(fields, step_fn, (z, z))
+
+    def force_pass(vx, vy, D, grid):
+        D = dict(D, **to_dense(grid, dict(vx=vx, vy=vy)))
+        fx_d, fy_d = force_core(D)
         pad = lambda v: jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
         fx_p, fy_p = from_dense(grid, [pad(fx_d), pad(fy_d)])
         return fx_p, fy_p
+
+    # ------------------------------------------------------------------
+    # Grid-resident mode (fc.residency): particle state lives in the dense
+    # grid tensor for the whole tick. The scatter path above pays ~13 indexed
+    # ops (argsort + scatters + gathers) of NL elements EVERY sub-step;
+    # indexed ops run at 60-100M elem/s on this TPU while dense VPU/MXU work
+    # runs 1000x faster, so the machinery — not pair math — floors the tick.
+    # Resident mode sorts/scatters ONCE per tick, migrates particles between
+    # cells each sub-step with a dense one-hot compaction over the 3x3
+    # neighborhood, and gathers back to particle order once at tick end.
+    # ------------------------------------------------------------------
+    use_resident = fc.residency == "on" or (
+        fc.residency == "auto" and jax.default_backend() == "tpu")
+    # padded dense shapes: pallas layout [ny+2, K, nx+2], XLA [ny+2, nx+2, K]
+    _slot_ax = 1 if use_pallas else 2
+
+    def _interior(v):
+        return v[1:-1, :, 1:-1] if use_pallas else v[1:-1, 1:-1, :]
+
+    def _pad_dense(v, fill=0):
+        if use_pallas:
+            return jnp.pad(v, ((1, 1), (0, 0), (1, 1)), constant_values=fill)
+        return jnp.pad(v, ((1, 1), (1, 1), (0, 0)), constant_values=fill)
+
+    _RES_FIELDS = ("x", "y", "vx", "vy", "hx", "hy", "m", "id")
+
+    def _migrate(Dp):
+        """Per-sub-step cell migration, fully dense.
+
+        Every occupied slot's particle is reassigned to the cell containing
+        its new position (edge-clamped, so particles are never lost); each
+        receiving cell compacts its candidates from the 3x3 neighborhood in
+        canonical (offset, slot) order and keeps the first K — the same
+        deterministic drop contract as the scatter-mode build (and the
+        reference's 64-per-cell atomic cap, fluid_kernels.metal:60,237-240).
+        The candidate->slot assignment is a rank one-hot contracted against
+        the field stack (batched [K,K]x[K,F] matmuls): ~cells*9*K*K*F MACs of
+        dense compute replacing per-sub-step sort/scatter/gather entirely.
+
+        Requires per-sub-step motion < 1 cell (enforced by the drift clamp in
+        the resident sub-step; coupling push-out is bounded by
+        position_solver.max_correction)."""
+        xi, yi = _interior(Dp["x"]), _interior(Dp["y"])
+        occi = _interior(Dp["occ"]) > 0
+        gx = jnp.clip(jnp.floor((xi + eps) / cell).astype(jnp.int32) - gmin,
+                      0, nx - 1)
+        gy = jnp.clip(jnp.floor((yi + eps) / cell).astype(jnp.int32) - gmin,
+                      0, ny - 1)
+        gx = jnp.where(occi, gx, -9)      # empty slots never match
+        gy = jnp.where(occi, gy, -9)
+        pgx = _pad_dense(gx, -9)
+        pgy = _pad_dense(gy, -9)
+        dt_ = Dp["x"].dtype
+        if use_pallas:
+            ty = jax.lax.broadcasted_iota(jnp.int32, (ny, 1, nx), 0)
+            tx = jax.lax.broadcasted_iota(jnp.int32, (ny, 1, nx), 2)
+            kio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K, 1), 2)
+            cnt = jnp.zeros((ny, 1, nx), jnp.int32)
+            acc = {f: jnp.zeros((ny, K, nx), dt_) for f in _RES_FIELDS}
+        else:
+            ty = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, 1), 0)
+            tx = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, 1), 1)
+            kio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, K), 3)
+            cnt = jnp.zeros((ny, nx, 1), jnp.int32)
+            acc = {f: jnp.zeros((ny, nx, K), dt_) for f in _RES_FIELDS}
+
+        def csl(v, dy, dx_):
+            if use_pallas:
+                return jax.lax.slice(v, (dy, 0, dx_), (dy + ny, K, dx_ + nx))
+            return jax.lax.slice(v, (dy, dx_, 0), (dy + ny, dx_ + nx, K))
+
+        for dy in (0, 1, 2):
+            for dx_ in (0, 1, 2):
+                match = (csl(pgx, dy, dx_) == tx) & (csl(pgy, dy, dx_) == ty)
+                local = jnp.cumsum(match.astype(jnp.int32), axis=_slot_ax)
+                rank = cnt + local - 1
+                # one-hot candidate->slot assignment, applied as a fused
+                # masked reduce per field (value-exact f32; a matmul against
+                # the one-hot would round through the MXU's bf16 passes and
+                # lowers poorly at these tiny [K,K] sizes)
+                if use_pallas:
+                    oh = match[:, :, None, :] & (rank[:, :, None, :] == kio)
+                    # oh [ny, Kcand, Kslot, nx]
+                    for f in _RES_FIELDS:
+                        cf = csl(Dp[f], dy, dx_)[:, :, None, :]
+                        acc[f] = acc[f] + jnp.where(oh, cf, 0.0).sum(1)
+                    cnt = cnt + local[:, K - 1:K, :]
+                else:
+                    oh = match[..., None] & (rank[..., None] == kio)
+                    # oh [ny, nx, Kcand, Kslot]
+                    for f in _RES_FIELDS:
+                        cf = csl(Dp[f], dy, dx_)[..., None]
+                        acc[f] = acc[f] + jnp.where(oh, cf, 0.0).sum(2)
+                    cnt = cnt + local[..., K - 1:K]
+
+        if use_pallas:
+            slot_idx = jax.lax.broadcasted_iota(jnp.int32, (ny, K, nx), 1)
+        else:
+            slot_idx = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, K), 2)
+        occ_new = (slot_idx < cnt).astype(dt_)
+        out = {f: _pad_dense(v) for f, v in acc.items()}
+        out["occ"] = _pad_dense(occ_new)
+        return out
 
     # ------------------------------------------------------------------
     # Rigid-fluid coupling (dense [NL, NR] — NR is small in all scenarios)
@@ -584,7 +728,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         vx = b.vel[L0:L0 + NL, 0]
         vy = b.vel[L0:L0 + NL, 1]
         mass = b.mass[L0:L0 + NL]
-        R = _rigid_proxies(b, NR) if NR > 0 else None
+        R = _rigid_proxies(b, NR, spec.max_rigid_verts) if NR > 0 else None
 
         zero = jnp.zeros_like(x)
         carry0 = dict(x=x, y=y, vx=vx, vy=vy, ax=zero, ay=zero,
@@ -640,11 +784,15 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                         rho=rho, pres=pres, Fx=Fx, Fy=Fy, Tq=Tq)
 
         cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
+        return _finalize(state, cr["x"], cr["y"], cr["vx"], cr["vy"],
+                         cr["rho"], cr["pres"], cr["Fx"], cr["Fy"], cr["Tq"])
 
-        pos = b.pos.at[L0:L0 + NL, 0].set(cr["x"]).at[L0:L0 + NL, 1].set(cr["y"])
-        vel = b.vel.at[L0:L0 + NL, 0].set(cr["vx"]).at[L0:L0 + NL, 1].set(cr["vy"])
-        density = b.density.at[L0:L0 + NL].set(cr["rho"])
-        pressure = b.pressure.at[L0:L0 + NL].set(cr["pres"])
+    def _finalize(state, xn, yn, vxn, vyn, rhon, presn, Fx, Fy, Tq):
+        b = state.bodies
+        pos = b.pos.at[L0:L0 + NL, 0].set(xn).at[L0:L0 + NL, 1].set(yn)
+        vel = b.vel.at[L0:L0 + NL, 0].set(vxn).at[L0:L0 + NL, 1].set(vyn)
+        density = b.density.at[L0:L0 + NL].set(rhon)
+        pressure = b.pressure.at[L0:L0 + NL].set(presn)
 
         if NR > 0:
             # rigid velocity write-back, once per tick (fluid.cpp:526-580)
@@ -653,9 +801,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             inv_m = jnp.where(rm > 1e-12, 1.0 / rm, 0.0)
             inv_i = jnp.where(ri > 1e-12, 1.0 / ri, 0.0)
             damp = fc.damping_factor
-            rvx = (b.vel[:NR, 0] + cr["Fx"] * inv_m) * damp
-            rvy = (b.vel[:NR, 1] + cr["Fy"] * inv_m) * damp
-            rom = (b.omega[:NR] + cr["Tq"] * inv_i) * damp
+            rvx = (b.vel[:NR, 0] + Fx * inv_m) * damp
+            rvy = (b.vel[:NR, 1] + Fy * inv_m) * damp
+            rom = (b.omega[:NR] + Tq * inv_i) * damp
             vel = vel.at[:NR, 0].set(rvx).at[:NR, 1].set(rvy)
             omega = b.omega.at[:NR].set(rom)
         else:
@@ -664,4 +812,127 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         return state.replace(bodies=b.replace(
             pos=pos, vel=vel, omega=omega, density=density, pressure=pressure))
 
-    return step
+    def step_resident(state: SimState) -> SimState:
+        """Grid-resident tick: one sort/scatter at build, dense migration per
+        sub-step, one gather-back at tick end. See the resident-mode comment
+        block above for the design rationale."""
+        b = state.bodies
+        x = b.pos[L0:L0 + NL, 0]
+        y = b.pos[L0:L0 + NL, 1]
+        vx = b.vel[L0:L0 + NL, 0]
+        vy = b.vel[L0:L0 + NL, 1]
+        mass = b.mass[L0:L0 + NL]
+        R = _rigid_proxies(b, NR, spec.max_rigid_verts) if NR > 0 else None
+
+        idf = jnp.arange(1, NL + 1, dtype=x.dtype)     # 0 = empty slot
+        grid = build_grid(x, y, clamp=True)
+        D0 = to_dense(grid, dict(x=x, y=y, vx=vx, vy=vy, m=mass, id=idf,
+                                 occ=jnp.ones_like(x)))
+        zd = jnp.zeros_like(D0["x"])
+        D0 = dict(D0, hx=zd, hy=zd, ax=zd, ay=zd, rho=zd, p=zd)
+        carry0 = dict(D=D0,
+                      Fx=jnp.zeros((max(NR, 1),), x.dtype),
+                      Fy=jnp.zeros((max(NR, 1),), x.dtype),
+                      Tq=jnp.zeros((max(NR, 1),), x.dtype))
+
+        import os
+        _ablate = os.environ.get("LPE_SPH_ABLATE", "")  # perf triage only
+        # drift clamp: migration handles at most 1-cell moves per sub-step;
+        # drift + coupling push-out (<= psv.max_correction) must stay under
+        # one cell width. 0.45*cell/sub_dt is a ~65 m/s cap at defaults —
+        # far beyond the reference's own velocity-explosion guards.
+        lim = 0.45 * cell
+
+        def substep(_, cr):
+            D = cr["D"]
+            occm = D["occ"] > 0
+            # kick-drift (metal:408-423)
+            vhx = D["vx"] + half_dt * D["ax"]
+            vhy = D["vy"] + half_dt * D["ay"]
+            x1 = jnp.where(occm, D["x"] + jnp.clip(vhx * sub_dt, -lim, lim),
+                           0.0)
+            y1 = jnp.where(occm, D["y"] + jnp.clip(vhy * sub_dt, -lim, lim),
+                           0.0)
+            if _ablate == "integrate":
+                return dict(cr, D=dict(D, x=x1, y=y1, vx=vhx, vy=vhy,
+                                       ax=zd, ay=zd))
+            with jax.named_scope("migrate"):
+                Dn = _migrate(dict(x=x1, y=y1, vx=D["vx"], vy=D["vy"],
+                                   hx=vhx, hy=vhy, m=D["m"], id=D["id"],
+                                   occ=D["occ"]))
+            Dn = dict(Dn, ax=D["ax"], ay=D["ay"], rho=D["rho"], p=D["p"])
+            if _ablate == "grid":
+                return dict(cr, D=Dn)
+            if use_pallas:
+                rm2 = _tile_bounds(Dn["occ"])
+                D4 = _d4_stack(Dn)
+                rho_rows = _pl_density(rm2, D4)[:, :, :nxp]
+                rho_pad = jnp.pad(rho_rows, ((1, 1), (0, 0), (0, 0)))
+            else:
+                rho_pad = jnp.pad(density_core(Dn),
+                                  ((1, 1), (1, 1), (0, 0)))
+            Dn["rho"] = rho_pad
+            Dn["p"] = _eos(rho_pad)
+            if _ablate == "density":
+                return dict(cr, D=Dn)
+            if use_pallas:
+                D8 = _d8_stack(D4, Dn["vx"], Dn["vy"], Dn["rho"], Dn["p"])
+                fx_r, fy_r = _pl_force(rm2, D8)
+                prow = lambda v: jnp.pad(v[:, :, :nxp],
+                                         ((1, 1), (0, 0), (0, 0)))
+                ax1, ay1 = prow(fx_r), prow(fy_r)
+            else:
+                fx_i, fy_i = force_core(Dn)
+                pad3 = lambda v: jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
+                ax1, ay1 = pad3(fx_i), pad3(fy_i)
+            # second kick (metal:428-441)
+            vx1 = Dn["hx"] + half_dt * ax1
+            vy1 = Dn["hy"] + half_dt * ay1
+            if _ablate == "nocouple" or NR == 0:
+                return dict(cr, D=dict(Dn, vx=vx1, vy=vy1, ax=ax1, ay=ay1))
+            # coupling on the flattened dense slots (occ-masked)
+            shp = Dn["x"].shape
+            fl = lambda v: v.reshape(-1)
+            px, py = fl(Dn["x"]), fl(Dn["y"])
+            occf = fl(Dn["occ"]) > 0
+            o = overlap_info(px, py, R)
+            o["inside"] = o["inside"] & occf[None, :]
+            axf, ayf, dFx, dFy, dTq = impulse_solve(
+                px, py, fl(vx1), fl(vy1), fl(Dn["rho"]), fl(Dn["p"]),
+                fl(Dn["m"]), fl(ax1), fl(ay1), R, o)
+            x2, y2, vx2, vy2, _, _ = position_solve(
+                px, py, fl(vx1), fl(vy1), fl(vx1), fl(vy1), R, o)
+            rs = lambda v: v.reshape(shp)
+            D2 = dict(Dn, x=rs(x2), y=rs(y2), vx=rs(vx2), vy=rs(vy2),
+                      ax=rs(axf), ay=rs(ayf))
+            return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
+                        Tq=cr["Tq"] + dTq)
+
+        cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
+        D = cr["D"]
+
+        # gather back to particle order (once per tick). Particles dropped by
+        # cell overflow (rank >= K at build or migration) are frozen for the
+        # tick — the scatter path instead integrates them ballistically; both
+        # only differ in the overflow regime the reference also degrades in.
+        S = D["x"].size
+        flat_id = jnp.round(D["id"].reshape(-1)).astype(jnp.int32)
+        occf = D["occ"].reshape(-1) > 0
+        tgt = jnp.where(occf, flat_id - 1, NL)
+        slot_of = jnp.full((NL + 1,), -1, jnp.int32).at[tgt].set(
+            jnp.arange(S, dtype=jnp.int32), mode="drop")[:NL]
+        res_mask = slot_of >= 0
+        gi = jnp.clip(slot_of, 0)
+
+        def readback(fld, old):
+            return jnp.where(res_mask, fld.reshape(-1)[gi], old)
+
+        return _finalize(
+            state,
+            readback(D["x"], x), readback(D["y"], y),
+            readback(D["vx"], vx), readback(D["vy"], vy),
+            readback(D["rho"], b.density[L0:L0 + NL]),
+            readback(D["p"], b.pressure[L0:L0 + NL]),
+            cr["Fx"], cr["Fy"], cr["Tq"])
+
+    return step_resident if use_resident else step

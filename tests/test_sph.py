@@ -119,6 +119,105 @@ def test_pallas_pair_kernels_match_xla():
     assert np.allclose(rx, rp, rtol=1e-5)
 
 
+def _blob_scene(n=60, universe=1.5, seed=0, vmax=0.3, walls=False,
+                **fluid_kw):
+    """Small random blob in a small universe (small grid keeps the resident
+    migration tensors tiny on the CPU test backend)."""
+    import dataclasses
+    from lpe_tpu.core.config import (FluidConfig, ScenarioSystemConfig,
+                                     SharedSystemConfig)
+    from lpe_tpu.core.constants import Phase
+    from lpe_tpu.scene import SceneBuilder
+    cfg = ScenarioSystemConfig(
+        shared=SharedSystemConfig(universe_size_m=universe),
+        fluid=dataclasses.replace(FluidConfig(), **fluid_kw))
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder("blob")
+    if walls:
+        b.add_wall(universe / 2, 0.05, universe / 2, 0.04)
+    for _ in range(n):
+        b.add(pos=tuple(rng.uniform(universe * 0.3, universe * 0.7, 2)),
+              vel=tuple(rng.uniform(-vmax, vmax, 2)),
+              mass=0.005, phase=int(Phase.LIQUID), radius=0.02)
+    return b.finalize(cfg)
+
+
+def _run_fluid(sc, residency, ticks=2, pair_backend="xla"):
+    import dataclasses
+    from lpe_tpu.systems.fluid import make_fluid
+    fl = dataclasses.replace(sc.cfg.fluid, residency=residency,
+                             pair_backend=pair_backend)
+    step = make_fluid(sc.spec, sc.cfg.replace(fluid=fl))
+    s = sc.state
+    for _ in range(ticks):
+        s = step(s)
+    return s
+
+
+def test_resident_matches_scatter_mode():
+    """Grid-resident substeps (one sort per tick + dense migration) against
+    the per-substep scatter path: same physics, float-tolerance agreement
+    (pair sums reassociate under the compaction order change)."""
+    sc = _blob_scene(n=60, vmax=0.3)
+    s_off = _run_fluid(sc, "off")
+    s_on = _run_fluid(sc, "on")
+    liq = sc.spec.liquid_slice
+    po = np.asarray(s_off.bodies.pos)[liq]
+    pn = np.asarray(s_on.bodies.pos)[liq]
+    ro = np.asarray(s_off.bodies.density)[liq]
+    rn = np.asarray(s_on.bodies.density)[liq]
+    assert np.isfinite(pn).all()
+    assert np.allclose(po, pn, atol=1e-4)
+    assert np.allclose(ro, rn, rtol=1e-3)
+    vo = np.asarray(s_off.bodies.vel)[liq]
+    vn = np.asarray(s_on.bodies.vel)[liq]
+    assert np.allclose(vo, vn, atol=1e-3)
+
+
+def test_resident_migration_crosses_cells():
+    """Fast-moving particles cross several cells over a few ticks; the
+    migration compaction must keep every particle resident (no loss, no
+    freeze) and agree with the scatter path."""
+    # 1.2 m/s for 3 ticks at dt=1/120 -> ~0.03 m/tick = 0.6 cells/tick
+    sc = _blob_scene(n=40, vmax=1.2, seed=3)
+    s_off = _run_fluid(sc, "off", ticks=3)
+    s_on = _run_fluid(sc, "on", ticks=3)
+    liq = sc.spec.liquid_slice
+    po = np.asarray(s_off.bodies.pos)[liq]
+    pn = np.asarray(s_on.bodies.pos)[liq]
+    moved = np.abs(pn - np.asarray(sc.state.bodies.pos)[liq]).max(1)
+    assert (moved > 1e-3).all()          # nobody frozen
+    assert np.allclose(po, pn, atol=1e-4)
+
+
+def test_resident_coupling_matches_scatter_mode():
+    """Two-way rigid coupling on the flattened dense slots must match the
+    particle-order coupling of the scatter path."""
+    sc = _blob_scene(n=50, vmax=0.4, walls=True, seed=5)
+    s_off = _run_fluid(sc, "off", ticks=2)
+    s_on = _run_fluid(sc, "on", ticks=2)
+    liq = sc.spec.liquid_slice
+    assert np.allclose(np.asarray(s_off.bodies.pos)[liq],
+                       np.asarray(s_on.bodies.pos)[liq], atol=1e-4)
+    # rigid writeback (wall is infinite mass -> velocity must stay ~0, but
+    # compare the whole rigid rows anyway)
+    assert np.allclose(np.asarray(s_off.bodies.vel)[:1],
+                       np.asarray(s_on.bodies.vel)[:1], atol=1e-5)
+
+
+def test_resident_pallas_interpret_matches_xla():
+    """Resident mode with the Pallas row-band pair kernels (interpret mode on
+    CPU) against resident XLA."""
+    sc = _blob_scene(n=30, vmax=0.3, seed=7)
+    s_x = _run_fluid(sc, "on", ticks=1, pair_backend="xla")
+    s_p = _run_fluid(sc, "on", ticks=1, pair_backend="pallas")
+    liq = sc.spec.liquid_slice
+    assert np.allclose(np.asarray(s_x.bodies.pos)[liq],
+                       np.asarray(s_p.bodies.pos)[liq], atol=1e-6)
+    assert np.allclose(np.asarray(s_x.bodies.density)[liq],
+                       np.asarray(s_p.bodies.density)[liq], rtol=1e-5)
+
+
 def test_grid_neighbor_count_cap_is_deterministic():
     # 200 particles in one cell: run twice, identical results (the reference's
     # atomic 64-cap is racy; ours must be deterministic)
