@@ -323,9 +323,10 @@ def polygon_contacts(sa, sb, normal, max_contacts: int):
     top_n, top_o = edge, _dot2(edge, v2)
     bot_n, bot_o = -edge, _dot2(-edge, v1)
 
-    cap = CLIP_CAP
-    poly = jnp.zeros((cap, 2), av.dtype).at[:MAX_POLY_VERTS].set(bv)
-    mask = jnp.zeros((cap,), bool).at[:MAX_POLY_VERTS].set(bm)
+    V = bv.shape[0]          # static scene max (SceneSpec.max_solid_verts)
+    cap = V + 4              # SH clip grows by <=1 vertex per plane
+    poly = jnp.zeros((cap, 2), av.dtype).at[:V].set(bv)
+    mask = jnp.zeros((cap,), bool).at[:V].set(bm)
     count = bc_count
     poly, mask, count = _clip_plane(poly, mask, count, ref_n, face_off, cap)
     poly, mask, count = _clip_plane(poly, mask, count, top_n, top_o, cap)

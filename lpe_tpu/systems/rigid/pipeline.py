@@ -33,12 +33,15 @@ from .solver import solve_position, solve_velocity
 INF = 1e30
 
 
-def _solid_shapes(b, S):
-    vmask = jnp.arange(MAX_POLY_VERTS)[None, :] < b.nverts[:S, None]
+def _solid_shapes(b, S, VS=MAX_POLY_VERTS):
+    """``VS`` = the scene's static max solid vertex count
+    (SceneSpec.max_solid_verts): narrowphase vertex loops size to the actual
+    shapes, not the 16-vert cap."""
+    vmask = jnp.arange(VS)[None, :] < b.nverts[:S, None]
     return dict(
         pos=b.pos[:S], angle=b.angle[:S],
         is_circle=b.shape_kind[:S] == int(ShapeKind.CIRCLE),
-        radius=b.radius[:S], verts=b.verts[:S], vmask=vmask,
+        radius=b.radius[:S], verts=b.verts[:S, :VS], vmask=vmask,
         nverts=b.nverts[:S],
     )
 
@@ -206,7 +209,7 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
 
     def step(state: SimState) -> SimState:
         b = state.bodies
-        sh = _solid_shapes(b, S)
+        sh = _solid_shapes(b, S, spec.max_solid_verts)
         minx, miny, maxx, maxy = _aabbs(sh)
         # --- broadphase -------------------------------------------------
         bnd = b.boundary[:S]

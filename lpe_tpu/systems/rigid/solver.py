@@ -65,53 +65,67 @@ def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
     eff_t = _eff_mass(tan, ra, rb, im_a * dg_a, im_b * dg_b,
                       ii_a * dg_a, ii_b * dg_b) * valid
 
-    def rel_vel(u, dirv):
+    def rel_vel2(u):
+        """Relative contact velocity along BOTH directions from one gather
+        pair (gathers are the per-iteration floor on TPU, not flops)."""
         ua = u[ia]                                      # [rows, 3]
         ub = u[ib]
         va = ua[:, :2] + jnp.stack([-ua[:, 2] * ra[:, 1],
                                     ua[:, 2] * ra[:, 0]], -1)
         vb = ub[:, :2] + jnp.stack([-ub[:, 2] * rb[:, 1],
                                     ub[:, 2] * rb[:, 0]], -1)
-        return ((vb - va) * dirv).sum(-1)
+        rv = vb - va
+        return (rv * nrm).sum(-1), (rv * tan).sum(-1)
 
-    def apply(u, dl, dirv):
+    def apply2(u, dln, dlt):
+        """One scatter pair applying the normal and tangent impulses."""
+        imp = nrm * dln[:, None] + tan * dlt[:, None]
         da = jnp.concatenate(
-            [-dirv * (dl * im_a)[:, None],
-             (-_cross2(ra, dirv) * dl * ii_a)[:, None]], axis=1)
+            [-imp * im_a[:, None],
+             (-(_cross2(ra, nrm) * dln + _cross2(ra, tan) * dlt)
+              * ii_a)[:, None]], axis=1)
         db = jnp.concatenate(
-            [dirv * (dl * im_b)[:, None],
-             (_cross2(rb, dirv) * dl * ii_b)[:, None]], axis=1)
+            [imp * im_b[:, None],
+             ((_cross2(rb, nrm) * dln + _cross2(rb, tan) * dlt)
+              * ii_b)[:, None]], axis=1)
         return u.at[ia].add(da).at[ib].add(db)
 
     relax = cfg.relaxation
     mu = cfg.friction_coeff
+    # own-contact normal->tangent velocity coupling (n.t = 0, so only the
+    # rotational terms survive): applying dln changes this contact's tangent
+    # velocity by dln * ctn. Folding it in analytically lets the friction
+    # update see its own contact's fresh normal impulse from the same gather
+    # (the reference's sequential sweeps see it through memory,
+    # contact_solver.cpp:397-439).
+    ctn = (_cross2(ra, nrm) * _cross2(ra, tan) * ii_a
+           + _cross2(rb, nrm) * _cross2(rb, tan) * ii_b)
 
     u = jnp.concatenate([vel, omega[:, None]], axis=1)  # [S, 3]
 
     # Warm start: cached impulses must be applied up front so the clamp
     # accumulators (which start at lam_*0) stay consistent with what the
     # velocities have actually received.
-    u = apply(u, jnp.where(valid, lam_n0, 0.0), nrm)
-    u = apply(u, jnp.where(valid, lam_t0, 0.0), tan)
     lam_n0 = jnp.where(valid, lam_n0, 0.0)
     lam_t0 = jnp.where(valid, lam_t0, 0.0)
+    u = apply2(u, lam_n0, lam_t0)
 
     def body(_, carry):
         u, ln, lt = carry
-        # normal sweep
-        vn = rel_vel(u, nrm)
+        vn, vt = rel_vel2(u)
+        # normal row
         dl = -eff_n * vn * relax
         new_ln = jnp.maximum(ln + dl, 0.0)
-        dl = jnp.where(valid, new_ln - ln, 0.0)
-        u = apply(u, dl, nrm)
-        ln = jnp.where(valid, new_ln, ln)
-        # friction sweep
-        lim = mu * ln
-        vt = rel_vel(u, tan)
-        dlt = -eff_t * vt * relax
-        new_lt = jnp.clip(lt + dlt, -lim, lim)
+        dln = jnp.where(valid, new_ln - ln, 0.0)
+        # friction row: limit uses the fresh normal impulse; tangent velocity
+        # sees the fresh own-contact normal impulse through ctn
+        lim = mu * new_ln
+        vt = vt + dln * ctn
+        dlt_raw = -eff_t * vt * relax
+        new_lt = jnp.clip(lt + dlt_raw, -lim, lim)
         dlt = jnp.where(valid, new_lt - lt, 0.0)
-        u = apply(u, dlt, tan)
+        u = apply2(u, dln, dlt)
+        ln = jnp.where(valid, new_ln, ln)
         lt = jnp.where(valid, new_lt, lt)
         return u, ln, lt
 
