@@ -158,6 +158,14 @@ class RigidBodyConfig:
     # headroom for clipping artifacts. Solver row count (and cost) scales
     # linearly with this.
     max_contacts_per_pair: int = 4
+    # Fixed capacity for the *active* (touching) contact rows the solvers
+    # iterate over. Narrowphase emits max_pairs*max_contacts_per_pair rows,
+    # but most candidate pairs are not in contact on any given tick;
+    # compacting the valid rows before the solve cuts each iteration's
+    # gather/scatter volume (the TPU cost floor) by rows/cap.
+    # 0 = auto (2*max_pairs: a 2D convex pair has at most 2 meaningful
+    # manifold points, so the auto cap only ever drops clipping artifacts).
+    max_active_contacts: int = 0
     # Persistent cross-tick warm starting. The reference built the machinery
     # (ContactManager impulse caching, contact_manager.cpp:164-279) but
     # recreates the manager every tick so it never takes effect

@@ -275,6 +275,26 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         pt_r = pts.reshape(-1, 2)
         pen_r = pens.reshape(-1)
 
+        # --- active-row compaction ----------------------------------------
+        # Solver iterations pay per capacity row (gathers/scatter-adds are
+        # the TPU floor); only a fraction of the max_pairs*C rows are real
+        # contacts, so compact them to a smaller fixed capacity first.
+        # Keep each pair's 2 deepest contacts for the solve (_pair_contacts
+        # depth-sorts via top_k): a 2D convex pair needs at most 2 manifold
+        # points for a full-rank contact constraint, and the bound makes the
+        # auto compaction cap below overflow-free.
+        solver_rows = valid_r & (jnp.tile(jnp.arange(C), MAX_PAIRS) < 2)
+        ROWS = MAX_PAIRS * C
+        ACT = min(rc.max_active_contacts or 2 * MAX_PAIRS, ROWS)
+        (rid,) = jnp.nonzero(solver_rows, size=ACT, fill_value=ROWS)
+        avalid = rid < ROWS
+        rid_s = jnp.where(avalid, rid, 0)
+        ia_c = ia_r[rid_s]
+        ib_c = ib_r[rid_s]
+        n_c = n_r[rid_s]
+        pt_c = pt_r[rid_s]
+        pen_c = pen_r[rid_s]
+
         # --- solvers -------------------------------------------------------
         mass = b.mass[:S]
         inertia = b.inertia[:S]
@@ -296,15 +316,24 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                             state.warm_normal[:MAX_PAIRS], 0.0).reshape(-1)
             lt0 = jnp.where(same[:, None],
                             state.warm_tangent[:MAX_PAIRS], 0.0).reshape(-1)
+            ln0 = jnp.where(avalid, ln0[rid_s], 0.0)
+            lt0 = jnp.where(avalid, lt0[rid_s], 0.0)
         else:
-            ln0 = jnp.zeros_like(pen_r)
-            lt0 = jnp.zeros_like(pen_r)
-        vel, omega, ln, lt = solve_velocity(
+            ln0 = jnp.zeros_like(pen_c)
+            lt0 = jnp.zeros_like(pen_c)
+        vel, omega, ln_c, lt_c = solve_velocity(
             b.pos[:S], b.vel[:S], b.omega[:S], inv_m, inv_i,
-            ia_r, ib_r, n_r, pt_r, valid_r, ln0, lt0, rc.solver)
+            ia_c, ib_c, n_c, pt_c, avalid, ln0, lt0, rc.solver)
         pos, angle = solve_position(
             b.pos[:S], b.angle[:S], inv_m, inv_i,
-            ia_r, ib_r, n_r, pt_r, pen_r, valid_r, rc.position)
+            ia_c, ib_c, n_c, pt_c, pen_c, avalid, rc.position)
+        # scatter compacted impulses back to capacity rows (warm cache)
+        if rc.warm_start:
+            ridx = jnp.where(avalid, rid, ROWS)
+            ln = jnp.zeros((ROWS + 1,), ln_c.dtype).at[ridx].set(
+                ln_c, mode="drop")[:ROWS]
+            lt = jnp.zeros((ROWS + 1,), lt_c.dtype).at[ridx].set(
+                lt_c, mode="drop")[:ROWS]
 
         nb = b.replace(
             pos=b.pos.at[:S].set(pos),
