@@ -154,10 +154,11 @@ class RigidBodyConfig:
     position: PositionSolverConfig = _d(PositionSolverConfig)
     gjk_iterations: int = 32         # reference caps at 100 (gjk.cpp:99)
     epa_iterations: int = 24         # reference caps at 100 (epa.cpp:58)
-    # 2D convex pairs produce at most 2 meaningful manifold points; 4 leaves
-    # headroom for clipping artifacts. Solver row count (and cost) scales
+    # Incident-edge clipping emits at most 2 manifold points per pair
+    # (geometry.polygon_contacts) — exactly the full-rank count for a 2D
+    # convex contact — so 2 is lossless. Solver row count (and cost) scales
     # linearly with this.
-    max_contacts_per_pair: int = 4
+    max_contacts_per_pair: int = 2
     # Fixed capacity for the *active* (touching) contact rows the solvers
     # iterate over. Narrowphase emits max_pairs*max_contacts_per_pair rows,
     # but most candidate pairs are not in contact on any given tick;

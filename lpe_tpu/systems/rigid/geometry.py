@@ -25,13 +25,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ...core.constants import EPSILON, MAX_POLY_VERTS
+from ...core.constants import EPSILON
 
 # Fixed capacities
 GJK_ITERS_DEFAULT = 32
 EPA_ITERS_DEFAULT = 24
 EPA_CAP = 3 + EPA_ITERS_DEFAULT + 1       # polytope grows by <=1 per iter
-CLIP_CAP = MAX_POLY_VERTS + 4             # SH clip grows by <=1 per plane
 NEG = -1e30
 
 
@@ -275,44 +274,23 @@ def _best_face(verts, mask, count, normal):
             _select_row(fn, best))
 
 
-def _clip_plane(poly, mask, count, pn, po, cap):
-    """Sutherland-Hodgman clip of a vertex ring against plane ``pn.x <= po``.
-    reference: narrowphase.cpp:204-234. Fixed-capacity, order-preserving."""
-    V = poly.shape[0]
-    idx = jnp.arange(V)
-    p1 = poly
-    p2 = jnp.where((idx == count - 1)[:, None], poly[0],
-                   jnp.roll(poly, -1, axis=0))
-    d1 = (p1 * pn[None, :]).sum(-1) - po
-    d2 = (p2 * pn[None, :]).sum(-1) - po
-    in1 = d1 <= 0.0
-    in2 = d2 <= 0.0
-    valid = idx < count
-    t = d1 / jnp.where(jnp.abs(d1 - d2) < 1e-30, 1e-30, d1 - d2)
-    inter = p1 + (p2 - p1) * t[:, None]
-
-    emit1 = valid & in1                      # keep p1
-    emit2 = valid & (in1 != in2)             # crossing point
-    # Each source slot emits 0..2 points; compact with a prefix sum and
-    # scatter (out-of-range indices are dropped, keeping it branchless).
-    n_emit = emit1.astype(jnp.int32) + emit2.astype(jnp.int32)
-    offs = jnp.cumsum(n_emit) - n_emit
-    pos1 = jnp.where(emit1, offs, cap + 1)
-    pos2 = jnp.where(emit2, offs + emit1.astype(jnp.int32), cap + 1)
-    out = jnp.zeros((cap, 2), poly.dtype)
-    out = out.at[pos1].set(p1, mode="drop")
-    out = out.at[pos2].set(inter, mode="drop")
-    new_count = n_emit.sum()
-    new_mask = jnp.arange(cap) < new_count
-    return out, new_mask, new_count
-
-
 def polygon_contacts(sa, sb, normal, max_contacts: int):
-    """Poly-poly manifold via reference-face clipping.
+    """Poly-poly manifold via reference-face / incident-edge clipping.
 
     Returns (points[max_contacts,2], penetrations[max_contacts],
     valid[max_contacts]). Normal is the EPA global normal (A->B); shape A is
     always the reference (narrowphase.cpp:173-174).
+
+    Deviation from the reference (documented): the reference Sutherland-
+    Hodgman-clips B's *entire* vertex ring against the face + side planes
+    (narrowphase.cpp:239-299) and keeps every surviving point. For convex
+    shapes the deepest two survivors always lie on the *incident face* (the
+    face of B most anti-parallel to the reference normal), so clipping just
+    that one edge against the two side planes — closed form, no ring
+    compaction — yields the same <=2-point manifold the solver consumes
+    (a 2D convex contact is full-rank with 2 points). This removes the 6
+    vmapped compaction scatters per pair that dominated narrowphase time on
+    TPU (scatters run at the chip's indexed-op floor, not the VPU rate).
     """
     av, am, ac_count = world_verts(sa)
     bv, bm, bc_count = world_verts(sb)
@@ -320,24 +298,46 @@ def polygon_contacts(sa, sb, normal, max_contacts: int):
     face_off = _dot2(ref_n, v1)
     edge = v2 - v1
     edge = edge / jnp.maximum(jnp.sqrt(_dot2(edge, edge)), 1e-30)
+    # side planes: keep dot(pn, p) <= po
     top_n, top_o = edge, _dot2(edge, v2)
     bot_n, bot_o = -edge, _dot2(-edge, v1)
 
-    V = bv.shape[0]          # static scene max (SceneSpec.max_solid_verts)
-    cap = V + 4              # SH clip grows by <=1 vertex per plane
-    poly = jnp.zeros((cap, 2), av.dtype).at[:V].set(bv)
-    mask = jnp.zeros((cap,), bool).at[:V].set(bm)
-    count = bc_count
-    poly, mask, count = _clip_plane(poly, mask, count, ref_n, face_off, cap)
-    poly, mask, count = _clip_plane(poly, mask, count, top_n, top_o, cap)
-    poly, mask, count = _clip_plane(poly, mask, count, bot_n, bot_o, cap)
+    # incident face on B: most anti-parallel to the reference normal
+    p1, p2, _ = _best_face(bv, bm, bc_count, -ref_n)
+    ok1 = jnp.bool_(True)
+    ok2 = jnp.bool_(True)
+    for pn, po in ((top_n, top_o), (bot_n, bot_o)):
+        d1 = _dot2(pn, p1) - po
+        d2 = _dot2(pn, p2) - po
+        t = d1 / jnp.where(jnp.abs(d1 - d2) < 1e-30, 1e-30, d1 - d2)
+        inter = p1 + (p2 - p1) * t
+        both_out = (d1 > 0.0) & (d2 > 0.0)
+        ok1 = ok1 & ~both_out
+        ok2 = ok2 & ~both_out
+        p1 = jnp.where((d1 > 0.0) & ~both_out, inter, p1)
+        p2 = jnp.where((d2 > 0.0) & ~both_out, inter, p2)
 
-    pen = -((poly * ref_n[None, :]).sum(-1) - face_off)
-    # keep the deepest max_contacts points (clip rings can exceed the cap;
-    # plain truncation could drop the penetrating points)
-    score = jnp.where(mask, pen, NEG)
-    _, top = jax.lax.top_k(score, max_contacts)
-    pts = poly[top]
-    pen = pen[top]
-    valid = mask[top]
+    pen1 = face_off - _dot2(ref_n, p1)
+    pen2 = face_off - _dot2(ref_n, p2)
+    # only points at/below the reference face are contacts (the reference's
+    # first clip plane is the face itself, narrowphase.cpp:305-350)
+    ok1 = ok1 & (pen1 >= 0.0)
+    ok2 = ok2 & (pen2 >= 0.0)
+    # deepest-first so callers can truncate to the leading rows
+    swap = pen2 > pen1
+    pa = jnp.where(swap, p2, p1)
+    pb = jnp.where(swap, p1, p2)
+    pena = jnp.where(swap, pen2, pen1)
+    penb = jnp.where(swap, pen1, pen2)
+    oka = jnp.where(swap, ok2, ok1)
+    okb = jnp.where(swap, ok1, ok2)
+
+    C = max_contacts
+    pts = jnp.zeros((C, 2), av.dtype).at[0].set(pa)
+    pen = jnp.zeros((C,), av.dtype).at[0].set(pena)
+    valid = jnp.zeros((C,), bool).at[0].set(oka)
+    if C >= 2:
+        pts = pts.at[1].set(pb)
+        pen = pen.at[1].set(penb)
+        valid = valid.at[1].set(okb)
     return pts, pen, valid

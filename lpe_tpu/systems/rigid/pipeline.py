@@ -279,8 +279,8 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         # Solver iterations pay per capacity row (gathers/scatter-adds are
         # the TPU floor); only a fraction of the max_pairs*C rows are real
         # contacts, so compact them to a smaller fixed capacity first.
-        # Keep each pair's 2 deepest contacts for the solve (_pair_contacts
-        # depth-sorts via top_k): a 2D convex pair needs at most 2 manifold
+        # Keep each pair's 2 deepest contacts for the solve (polygon_contacts
+        # emits deepest-first): a 2D convex pair needs at most 2 manifold
         # points for a full-rank contact constraint, and the bound makes the
         # auto compaction cap below overflow-free.
         solver_rows = valid_r & (jnp.tile(jnp.arange(C), MAX_PAIRS) < 2)
