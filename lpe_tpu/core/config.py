@@ -268,6 +268,14 @@ class FluidConfig:
     # drop contract as the scatter path; pair sums reassociate, so results
     # match the scatter path to float tolerance, not bitwise.
     residency: str = "auto"
+    # Multi-chip decomposition (only read by parallel/sharded.py when a mesh
+    # with >1 devices is used): "halo" = spatial row-band sharding of the
+    # dense grid with one-row ppermute halo exchanges per sub-step over ICI
+    # (the scalable design: per-step comms are O(nx*K), independent of N and
+    # device count); "entity" = shard the particle axis and let GSPMD insert
+    # collectives (all-gathers the grid — simple, correct, not scalable);
+    # "auto" = halo.
+    partition: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -7,11 +7,14 @@ row axis across the mesh so each chip owns a horizontal band of the domain,
 and exchange exactly one boundary row per neighbor per substep over ICI
 (`lax.ppermute`) — O(nx*K) bytes per step instead of O(ny*nx*K).
 
-This module provides that building block: a shard_map density pass over
-row-banded dense fields, bit-compatible with the single-device pass (up to
-sum reassociation). Full spatial sharding of the tick additionally needs
-fixed-capacity particle migration between bands (round-2 work); the halo
-pattern here is the communication core of that design.
+This module provides the standalone building block: a shard_map density pass
+over row-banded dense fields, bit-compatible with the single-device pass (up
+to sum reassociation). The **full** spatially-sharded fluid tick — grid-
+resident sub-steps with dense cross-band particle migration via the halo
+rows, three one-row exchanges per sub-step, and a reduce-scatter readback by
+particle id — lives in ``systems/fluid/sph.py::step_halo`` and is selected
+by ``parallel/sharded.py`` whenever the mesh has more than one device (see
+``FluidConfig.partition``).
 """
 from __future__ import annotations
 

@@ -59,7 +59,13 @@ def shard_state(mesh: Mesh, state: SimState) -> SimState:
 
 
 def build_sharded_tick(scene: Scene, mesh: Mesh, donate: bool = False):
-    """Jitted tick with explicit input/output shardings over ``mesh``."""
+    """Jitted tick with explicit input/output shardings over ``mesh``.
+
+    The fluid system runs row-band spatially sharded (shard_map + ppermute
+    halo exchange, systems/fluid/sph.py step_halo) when the mesh has more
+    than one device and ``cfg.fluid.partition`` is "auto"/"halo"; everything
+    else (elementwise systems, rigid pipeline, gravity) stays GSPMD-sharded
+    on the entity axis."""
     cfg = scene.cfg
     platform = mesh.devices.ravel()[0].platform
     if platform != "tpu":
@@ -73,7 +79,11 @@ def build_sharded_tick(scene: Scene, mesh: Mesh, donate: bool = False):
             repl["residency"] = "off"
         if repl:
             cfg = cfg.replace(fluid=dataclasses.replace(cfg.fluid, **repl))
-    tick = build_tick_fn(scene.spec, cfg, jit=False)
+    use_halo = (cfg.fluid.partition in ("auto", "halo")
+                and mesh.devices.size > 1 and scene.spec.n_liquid > 0)
+    tick = build_tick_fn(scene.spec, cfg, jit=False,
+                         fluid_mesh=mesh if use_halo else None,
+                         fluid_axis=AXIS)
     sh = state_shardings(mesh, scene.state)
     return jax.jit(tick, in_shardings=(sh,), out_shardings=sh,
                    donate_argnums=(0,) if donate else ())

@@ -20,7 +20,11 @@ from .barnes_hut import make_barnes_hut
 
 
 def build_system_list(spec: SceneSpec, cfg: ScenarioSystemConfig,
-                      include_dampening: bool = False):
+                      include_dampening: bool = False,
+                      fluid_mesh=None, fluid_axis: str = "data"):
+    """``fluid_mesh``: a jax Mesh — the fluid system then runs row-band
+    spatially sharded over ``fluid_axis`` (shard_map + ppermute halos,
+    see systems/fluid/sph.py step_halo)."""
     from .fluid import make_fluid
     from .rigid import make_rigid
 
@@ -30,7 +34,7 @@ def build_system_list(spec: SceneSpec, cfg: ScenarioSystemConfig,
         if fn is not None:
             systems.append((name, fn))
 
-    addn("fluid", make_fluid(spec, cfg))
+    addn("fluid", make_fluid(spec, cfg, mesh=fluid_mesh, axis=fluid_axis))
     addn("boundary", simple.make_boundary(spec, cfg))
     addn("gravity", simple.make_gravity(spec, cfg))
     addn("rigid", make_rigid(spec, cfg))
@@ -44,8 +48,10 @@ def build_system_list(spec: SceneSpec, cfg: ScenarioSystemConfig,
 
 
 def build_tick_fn(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
-                  jit: bool = True, donate: bool = True):
-    systems = build_system_list(spec, cfg)
+                  jit: bool = True, donate: bool = True,
+                  fluid_mesh=None, fluid_axis: str = "data"):
+    systems = build_system_list(spec, cfg, fluid_mesh=fluid_mesh,
+                                fluid_axis=fluid_axis)
 
     def tick(state: SimState) -> SimState:
         for name, fn in systems:

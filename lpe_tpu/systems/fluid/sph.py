@@ -149,7 +149,11 @@ def _closest_point_on_polygon(px, py, wx, wy, vmask, nv):
     return cxb, cyb
 
 
-def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
+def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
+                      mesh=None, axis: str = "data"):
+    """Single-device fluid step, or — when ``mesh`` is given — the row-band
+    spatially-sharded step (``shard_map`` + ``lax.ppermute`` halo exchange
+    over the mesh's ``axis``; see ``step_halo`` below)."""
     fc = cfg.fluid
     NL = spec.n_liquid
     L0 = spec.liquid_start
@@ -164,6 +168,10 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     gmin = -2
     nx = int(math.ceil(size / cell)) + 4
     ny = nx
+    ND = int(mesh.shape[axis]) if mesh is not None else 1
+    if ND > 1:
+        ny = -(-ny // ND) * ND    # row bands must divide evenly; the extra
+        #                           rows are empty cells past the universe
     ncells = nx * ny
     sub_dt = (cfg.shared.seconds_per_tick * cfg.shared.time_acceleration
               / fc.num_sub_steps)
@@ -283,13 +291,16 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
 
     def _offsets(grids, fn, init):
         """Accumulate fn over the 9 neighbor offsets of padded dense grids.
-        ``fn`` receives ``is_center`` as a (possibly traced) bool."""
+        ``fn`` receives ``is_center`` as a (possibly traced) bool. Row/col
+        counts come from the inputs, so banded (row-sharded) grids work."""
         if _UNROLL_OFFSETS:
             acc = init
             for dy in (0, 1, 2):
                 for dx in (0, 1, 2):
                     nbr = {k: jax.lax.slice(
-                        v, (dy, dx, 0), (dy + ny, dx + nx, v.shape[2]))
+                        v, (dy, dx, 0),
+                        (dy + v.shape[0] - 2, dx + v.shape[1] - 2,
+                         v.shape[2]))
                         for k, v in grids.items()}
                     acc = fn(acc, nbr, dy == 1 and dx == 1)
             return acc
@@ -300,7 +311,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         def body(acc, od):
             dy, dx = od[0], od[1]
             nbr = {k: jax.lax.dynamic_slice(
-                v, (dy, dx, 0), (ny, nx, v.shape[2]))
+                v, (dy, dx, 0), (v.shape[0] - 2, v.shape[1] - 2, v.shape[2]))
                 for k, v in grids.items()}
             return fn(acc, nbr, (dy == 1) & (dx == 1)), None
 
@@ -331,9 +342,10 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             return jnp.pad(v, ((0, 0), (0, 0), (0, _nxp_t - nxp)))
 
         def _tile_bounds(occ):
-            """Per-(padded-row, x-tile) max cell occupancy [ny+2, NT]."""
+            """Per-(padded-row, x-tile) max cell occupancy [rows, NT]."""
             counts = jnp.pad(occ.sum(axis=1), ((0, 0), (0, _nxp_t - nxp)))
-            return counts.reshape(ny + 2, _NT, _TX).max(-1).astype(jnp.int32)
+            return counts.reshape(occ.shape[0], _NT, _TX).max(-1) \
+                         .astype(jnp.int32)
 
         def _d4_stack(D):
             return jnp.stack([_padx(D[f]) for f in ("x", "y", "m", "occ")])
@@ -480,7 +492,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
 
     _RES_FIELDS = ("x", "y", "vx", "vy", "hx", "hy", "m", "id")
 
-    def _migrate(Dp):
+    def _migrate(Dp, row_off=0):
         """Per-sub-step cell migration, fully dense.
 
         Every occupied slot's particle is reassigned to the cell containing
@@ -493,37 +505,44 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         the field stack (batched [K,K]x[K,F] matmuls): ~cells*9*K*K*F MACs of
         dense compute replacing per-sub-step sort/scatter/gather entirely.
 
+        The padded apron rows/cols participate as migration *candidates*:
+        in single-device mode their occupancy is always zero (no behavior
+        change), while in row-banded halo mode (parallel/halo.py) they hold
+        the neighbor device's edge rows, so particles crossing a band
+        boundary are picked up by the receiving band. ``row_off`` (static or
+        traced) converts global cell rows to local interior rows; local row
+        count comes from the input shapes, so banded blocks work.
+
         Requires per-sub-step motion < 1 cell (enforced by the drift clamp in
         the resident sub-step; coupling push-out is bounded by
         position_solver.max_correction)."""
-        xi, yi = _interior(Dp["x"]), _interior(Dp["y"])
-        occi = _interior(Dp["occ"]) > 0
-        gx = jnp.clip(jnp.floor((xi + eps) / cell).astype(jnp.int32) - gmin,
-                      0, nx - 1)
-        gy = jnp.clip(jnp.floor((yi + eps) / cell).astype(jnp.int32) - gmin,
-                      0, ny - 1)
-        gx = jnp.where(occi, gx, -9)      # empty slots never match
-        gy = jnp.where(occi, gy, -9)
-        pgx = _pad_dense(gx, -9)
-        pgy = _pad_dense(gy, -9)
+        occp = Dp["occ"] > 0
+        gxa = jnp.clip(jnp.floor((Dp["x"] + eps) / cell).astype(jnp.int32)
+                       - gmin, 0, nx - 1)
+        gya = jnp.clip(jnp.floor((Dp["y"] + eps) / cell).astype(jnp.int32)
+                       - gmin, 0, ny - 1) - row_off
+        pgx = jnp.where(occp, gxa, -9)    # empty slots never match
+        pgy = jnp.where(occp, gya, -9)
         dt_ = Dp["x"].dtype
+        nyl = Dp["x"].shape[0] - 2
         if use_pallas:
-            ty = jax.lax.broadcasted_iota(jnp.int32, (ny, 1, nx), 0)
-            tx = jax.lax.broadcasted_iota(jnp.int32, (ny, 1, nx), 2)
+            ty = jax.lax.broadcasted_iota(jnp.int32, (nyl, 1, nx), 0)
+            tx = jax.lax.broadcasted_iota(jnp.int32, (nyl, 1, nx), 2)
             kio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K, 1), 2)
-            cnt = jnp.zeros((ny, 1, nx), jnp.int32)
-            acc = {f: jnp.zeros((ny, K, nx), dt_) for f in _RES_FIELDS}
+            cnt = jnp.zeros((nyl, 1, nx), jnp.int32)
+            acc = {f: jnp.zeros((nyl, K, nx), dt_) for f in _RES_FIELDS}
         else:
-            ty = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, 1), 0)
-            tx = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, 1), 1)
+            ty = jax.lax.broadcasted_iota(jnp.int32, (nyl, nx, 1), 0)
+            tx = jax.lax.broadcasted_iota(jnp.int32, (nyl, nx, 1), 1)
             kio = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, K), 3)
-            cnt = jnp.zeros((ny, nx, 1), jnp.int32)
-            acc = {f: jnp.zeros((ny, nx, K), dt_) for f in _RES_FIELDS}
+            cnt = jnp.zeros((nyl, nx, 1), jnp.int32)
+            acc = {f: jnp.zeros((nyl, nx, K), dt_) for f in _RES_FIELDS}
 
         def csl(v, dy, dx_):
             if use_pallas:
-                return jax.lax.slice(v, (dy, 0, dx_), (dy + ny, K, dx_ + nx))
-            return jax.lax.slice(v, (dy, dx_, 0), (dy + ny, dx_ + nx, K))
+                return jax.lax.slice(v, (dy, 0, dx_),
+                                     (dy + nyl, K, dx_ + nx))
+            return jax.lax.slice(v, (dy, dx_, 0), (dy + nyl, dx_ + nx, K))
 
         for dy in (0, 1, 2):
             for dx_ in (0, 1, 2):
@@ -550,9 +569,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                     cnt = cnt + local[..., K - 1:K]
 
         if use_pallas:
-            slot_idx = jax.lax.broadcasted_iota(jnp.int32, (ny, K, nx), 1)
+            slot_idx = jax.lax.broadcasted_iota(jnp.int32, (nyl, K, nx), 1)
         else:
-            slot_idx = jax.lax.broadcasted_iota(jnp.int32, (ny, nx, K), 2)
+            slot_idx = jax.lax.broadcasted_iota(jnp.int32, (nyl, nx, K), 2)
         occ_new = (slot_idx < cnt).astype(dt_)
         out = {f: _pad_dense(v) for f, v in acc.items()}
         out["occ"] = _pad_dense(occ_new)
@@ -935,4 +954,216 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             readback(D["p"], b.pressure[L0:L0 + NL]),
             cr["Fx"], cr["Fy"], cr["Tq"])
 
-    return step_resident if use_resident else step
+    if mesh is None:
+        return step_resident if use_resident else step
+
+    # ------------------------------------------------------------------
+    # Row-band spatial sharding (multi-chip): each device owns ny/ND
+    # contiguous grid rows. The grid-resident tick runs per band; the only
+    # per-sub-step communication is a one-row ppermute halo exchange with
+    # each neighbor over ICI — O(nx*K) bytes, independent of N and of the
+    # device count (vs. the GSPMD entity-sharded path, which all-gathers the
+    # whole grid). Physics is identical to step_resident: the padded apron
+    # rows, which are always empty on a single device, hold the neighbor
+    # band's edge rows instead, and _migrate's candidate pass picks up
+    # particles crossing the band boundary (<=1 cell/sub-step by the drift
+    # clamp). Build (sort+scatter) and readback (reduce-scatter by particle
+    # id) happen once per tick.
+    # ------------------------------------------------------------------
+    from jax.sharding import PartitionSpec as _P
+    try:                                     # jax >= 0.8
+        from jax import shard_map as _shard_map
+    except ImportError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    band = ny // ND
+    NLp = -(-NL // ND) * ND                  # particle axis, padded to ND
+    if use_pallas:
+        _pl_density_b = make_density(band, _NT, K, h, POLY6,
+                                     interpret=_interp)
+        _pl_force_b = make_force(band, _NT, K, h, SPIKY, VISC, fc.viscosity,
+                                 nm.min_distance_threshold,
+                                 nm.min_density_threshold, interpret=_interp)
+        PSIZE_L = (band + 2) * K * nxp
+    else:
+        PSIZE_L = (band + 2) * nxp * K
+    lim = 0.45 * cell
+    _fwd = [(i, i + 1) for i in range(ND - 1)]
+    _bwd = [(i, i - 1) for i in range(1, ND)]
+
+    def _exch(fields: dict) -> dict:
+        """Refresh the local block's halo rows (padded row 0 / row -1) from
+        the neighbor bands' edge interior rows. Devices at the global edges
+        receive nothing (ppermute zero-fill) — exactly the empty apron."""
+        names = sorted(fields)
+        first = jnp.stack([fields[n][1] for n in names])
+        last = jnp.stack([fields[n][-2] for n in names])
+        from_prev = jax.lax.ppermute(last, axis, _fwd)
+        from_next = jax.lax.ppermute(first, axis, _bwd)
+        return {n: fields[n].at[0].set(from_prev[i]).at[-1].set(from_next[i])
+                for i, n in enumerate(names)}
+
+    def _halo_core(xl, yl, vxl, vyl, ml, R):
+        ai = jax.lax.axis_index(axis)
+        row0 = ai * band                     # my first global interior row
+        # ---- gather all particles; build my band's dense block -----------
+        P5 = jnp.stack([xl, yl, vxl, vyl, ml])
+        P5 = jax.lax.all_gather(P5, axis, axis=1, tiled=True)   # [5, NLp]
+        x, y, vx, vy, m = P5
+        real = jnp.arange(NLp) < NL
+        gx, gy = cell_coords(x, y)
+        gx = jnp.clip(gx, 0, nx - 1)
+        gy = jnp.clip(gy, 0, ny - 1)
+        cid = jnp.where(real, gy * nx + gx, ncells)
+        order = jnp.argsort(cid, stable=False)
+        counts = jnp.zeros((ncells + 1,), jnp.int32).at[cid].add(1)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(counts[:-1], dtype=jnp.int32)])
+        sc = cid[order]
+        rank = jnp.arange(NLp) - start[jnp.clip(sc, 0, ncells)]
+        gys, gxs = gy[order], gx[order]
+        mine = (sc < ncells) & (rank < K) & \
+               (gys >= row0) & (gys < row0 + band)
+        if use_pallas:
+            slot = ((gys - row0 + 1) * K + rank) * nxp + gxs + 1
+        else:
+            slot = ((gys - row0 + 1) * nxp + gxs + 1) * K + rank
+        slot = jnp.where(mine, slot, PSIZE_L)
+        slot_p = jnp.full((NLp,), PSIZE_L, jnp.int32).at[order].set(
+            slot.astype(jnp.int32))
+
+        def scat(field):
+            flat = jnp.zeros((PSIZE_L + 1,), field.dtype)
+            flat = flat.at[slot_p].set(field, mode="drop")
+            if use_pallas:
+                return flat[:PSIZE_L].reshape(band + 2, K, nxp)
+            return flat[:PSIZE_L].reshape(band + 2, nxp, K)
+
+        idf = jnp.arange(1, NLp + 1, dtype=x.dtype)
+        D0 = dict(x=scat(x), y=scat(y), vx=scat(vx), vy=scat(vy),
+                  m=scat(m), id=scat(idf), occ=scat(jnp.ones_like(x)))
+        zd = jnp.zeros_like(D0["x"])
+        D0 = dict(D0, hx=zd, hy=zd, ax=zd, ay=zd, rho=zd, p=zd)
+        # rigid accumulators start replicated (zeros) but collect
+        # device-local partial sums in the loop: mark them varying so the
+        # fori_loop carry types stay consistent (psum'd once at tick end)
+        vary = lambda v: jax.lax.pcast(v, (axis,), to="varying")
+        carry0 = dict(D=D0,
+                      Fx=vary(jnp.zeros((max(NR, 1),), x.dtype)),
+                      Fy=vary(jnp.zeros((max(NR, 1),), x.dtype)),
+                      Tq=vary(jnp.zeros((max(NR, 1),), x.dtype)))
+
+        def substep(_, cr):
+            D = cr["D"]
+            occm = D["occ"] > 0
+            vhx = D["vx"] + half_dt * D["ax"]
+            vhy = D["vy"] + half_dt * D["ay"]
+            x1 = jnp.where(occm, D["x"] + jnp.clip(vhx * sub_dt, -lim, lim),
+                           0.0)
+            y1 = jnp.where(occm, D["y"] + jnp.clip(vhy * sub_dt, -lim, lim),
+                           0.0)
+            # halo exchange #1: post-integration candidates for migration
+            ex = _exch(dict(x=x1, y=y1, vx=D["vx"], vy=D["vy"],
+                            hx=vhx, hy=vhy, m=D["m"], id=D["id"],
+                            occ=D["occ"]))
+            with jax.named_scope("migrate"):
+                Dn = _migrate(ex, row_off=row0)
+            # halo exchange #2: post-migration neighbors for the pair passes
+            Dn = dict(Dn, **_exch({k: Dn[k] for k in
+                                   ("x", "y", "vx", "vy", "m", "occ")}))
+            if use_pallas:
+                rm2 = _tile_bounds(Dn["occ"])
+                D4 = _d4_stack(Dn)
+                rho_rows = _pl_density_b(rm2, D4)[:, :, :nxp]
+                rho_pad = jnp.pad(rho_rows, ((1, 1), (0, 0), (0, 0)))
+            else:
+                rho_pad = jnp.pad(density_core(Dn),
+                                  ((1, 1), (1, 1), (0, 0)))
+            Dn["rho"] = rho_pad
+            Dn["p"] = _eos(rho_pad)
+            # halo exchange #3: neighbor densities for the force pass
+            Dn = dict(Dn, **_exch({k: Dn[k] for k in ("rho", "p")}))
+            if use_pallas:
+                D8 = _d8_stack(D4, Dn["vx"], Dn["vy"], Dn["rho"], Dn["p"])
+                fx_r, fy_r = _pl_force_b(rm2, D8)
+                prow = lambda v: jnp.pad(v[:, :, :nxp],
+                                         ((1, 1), (0, 0), (0, 0)))
+                ax1, ay1 = prow(fx_r), prow(fy_r)
+            else:
+                fx_i, fy_i = force_core(Dn)
+                pad3 = lambda v: jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
+                ax1, ay1 = pad3(fx_i), pad3(fy_i)
+            vx1 = Dn["hx"] + half_dt * ax1
+            vy1 = Dn["hy"] + half_dt * ay1
+            if NR == 0:
+                return dict(cr, D=dict(Dn, vx=vx1, vy=vy1, ax=ax1, ay=ay1))
+            # coupling over my interior slots only (halo copies are the
+            # neighbor's particles — it applies the coupling to them)
+            occ_int = Dn["occ"].at[0].set(0.0).at[-1].set(0.0)
+            shp = Dn["x"].shape
+            fl = lambda v: v.reshape(-1)
+            px, py = fl(Dn["x"]), fl(Dn["y"])
+            occf = fl(occ_int) > 0
+            o = overlap_info(px, py, R)
+            o["inside"] = o["inside"] & occf[None, :]
+            axf, ayf, dFx, dFy, dTq = impulse_solve(
+                px, py, fl(vx1), fl(vy1), fl(Dn["rho"]), fl(Dn["p"]),
+                fl(Dn["m"]), fl(ax1), fl(ay1), R, o)
+            x2, y2, vx2, vy2, _, _ = position_solve(
+                px, py, fl(vx1), fl(vy1), fl(vx1), fl(vy1), R, o)
+            rs = lambda v: v.reshape(shp)
+            D2 = dict(Dn, x=rs(x2), y=rs(y2), vx=rs(vx2), vy=rs(vy2),
+                      ax=rs(axf), ay=rs(ayf))
+            return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
+                        Tq=cr["Tq"] + dTq)
+
+        cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
+        D = cr["D"]
+
+        # ---- readback: reduce-scatter by particle id ----------------------
+        def intr(v):
+            iv = _interior(v)
+            return iv.reshape(-1)
+
+        flat_id = jnp.round(intr(D["id"])).astype(jnp.int32)
+        occf = intr(D["occ"]) > 0
+        tgt = jnp.where(occf, flat_id - 1, NLp)
+        F7 = jnp.stack([intr(D[k]) for k in
+                        ("x", "y", "vx", "vy", "rho", "p")]
+                       + [jnp.ones_like(intr(D["x"]))])
+        buf = jnp.zeros((7, NLp + 1), F7.dtype)
+        buf = buf.at[:, tgt].set(F7, mode="drop")[:, :NLp]
+        out7 = jax.lax.psum_scatter(buf, axis, scatter_dimension=1,
+                                    tiled=True)                # [7, NLp/ND]
+        Fx = jax.lax.psum(cr["Fx"], axis)
+        Fy = jax.lax.psum(cr["Fy"], axis)
+        Tq = jax.lax.psum(cr["Tq"], axis)
+        return out7, Fx, Fy, Tq
+
+    _spec_p = _P(axis)
+    _halo_sm = _shard_map(
+        _halo_core, mesh=mesh,
+        in_specs=(_spec_p, _spec_p, _spec_p, _spec_p, _spec_p, _P()),
+        out_specs=(_P(None, axis), _P(), _P(), _P()))
+
+    def step_halo(state: SimState) -> SimState:
+        b = state.bodies
+        pad1 = lambda v: jnp.pad(v, (0, NLp - NL))
+        x = pad1(b.pos[L0:L0 + NL, 0])
+        y = pad1(b.pos[L0:L0 + NL, 1])
+        vx = pad1(b.vel[L0:L0 + NL, 0])
+        vy = pad1(b.vel[L0:L0 + NL, 1])
+        mass = pad1(b.mass[L0:L0 + NL])
+        R = (_rigid_proxies(b, NR, spec.max_rigid_verts) if NR > 0
+             else dict(_unused=jnp.zeros((1,), x.dtype)))
+        out7, Fx, Fy, Tq = _halo_sm(x, y, vx, vy, mass, R)
+        res = out7[6, :NL] > 0    # particle was grid-resident this tick
+        def rb(i, old):
+            return jnp.where(res, out7[i, :NL], old)
+        return _finalize(
+            state,
+            rb(0, x[:NL]), rb(1, y[:NL]), rb(2, vx[:NL]), rb(3, vy[:NL]),
+            rb(4, b.density[L0:L0 + NL]), rb(5, b.pressure[L0:L0 + NL]),
+            Fx, Fy, Tq)
+
+    return step_halo
