@@ -98,6 +98,17 @@ class BarnesHutConfig:
     # keeps central stars/planets from being smeared by the grid
     heavy_threshold: float = 1e28
     heavy_cap: int = 16
+    # P3M split: the mesh kernel is rolled off by a quintic smoothstep
+    # (ramping over ~2..p3m_cutoff_cells mesh cells, ops/pm_gravity._ramp)
+    # and CIC-deconvolved, and a dense cell-grid particle-particle pass adds
+    # the exact complementary short-range force below the cutoff
+    # (make_pp_correction). 0 disables the correction (plain PM).
+    # Measured on a random self-gravitating blob vs the exact direct sum
+    # (tests/test_barnes_hut.py): p95 error 7% (plain PM) -> 0.9% at the
+    # defaults. Per-cell candidate residency is a deterministic first-K drop
+    # (overflow keeps the smooth mesh force only).
+    p3m_cutoff_cells: float = 8.0
+    p3m_max_per_cell: int = 64
 
 
 @dataclass(frozen=True)

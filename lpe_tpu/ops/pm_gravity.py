@@ -1,4 +1,4 @@
-"""Particle-mesh (PM) N-body gravity for large N.
+"""Particle-mesh (PM / P3M) N-body gravity for large N.
 
 The reference's far-field strategy is a Barnes-Hut quadtree walk with
 theta = 0.5 (reference: src/systems/barnes_hut.cpp:256-312) — a
@@ -12,12 +12,24 @@ which is O(G^2 log G) on the device's FFT path regardless of N, plus an
 exact direct sum over the few *heavy* bodies (planets/stars above
 ``heavy_threshold``) so dominant central forces are not smeared by the mesh.
 Force law and softening match the reference: |f| = G*M / (d^2 + soft^2),
-direction along the separation (barnes_hut.cpp:284-307). Mesh smearing plays
-the role of theta-approximation error; at the default 512^2 mesh it is of
-the same order (~1%) as theta=0.5 at the reference's scales (validated in
-tests/test_barnes_hut.py against the exact direct sum).
+direction along the separation (barnes_hut.cpp:284-307).
+
+**P3M short-range correction** (``cutoff_cells > 0``, the default through
+``BarnesHutConfig``): the mesh kernel is rolled off by a quintic smoothstep
+``S(d/rc)`` so the mesh only carries the *smooth* part of the force (which
+CIC+FFT represents with small error everywhere — the sharp 1/d^2 peak is
+exactly what the plain-PM mesh gets ~7% wrong at close range), and a dense
+cell-grid particle-particle pass adds the complementary exact short-range
+term ``(1 - S(d/rc)) * f(d)`` for pairs within ``rc = cutoff_cells * cell``
+(``make_pp_correction``). Both halves use the *scenario* softener (the
+rolloff removes the need for plain PM's one-cell softening clamp), so mesh +
+correction telescopes to the exact softened law for d < rc. Per-cell
+candidate capacity is a deterministic first-K drop, the same contract as the
+SPH grid and the reference's own 64-per-cell cap.
 """
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -27,18 +39,47 @@ import jax.numpy as jnp
 from ..core.constants import REAL_G
 
 
+def _ramp(rc: float, cell: float):
+    """Mesh/PP blend window (r0, width) for cutoff rc.
+
+    Two competing mesh-error sources fix the window: the mesh cannot be
+    trusted below ~2 cells (CIC + sampled-kernel error is tens of percent
+    there), so the ramp *starts* at min(2 cells, rc/2); and the mesh cannot
+    represent variation sharper than a few cells, so the ramp must be as
+    wide as the remaining room to rc. PP covers [0, rc] exactly with weight
+    (1 - S)."""
+    r0 = min(2.0 * cell, 0.5 * rc)
+    return r0, max(rc - r0, 1e-300)
+
+
+def _smoothstep5(u):
+    """C^2 quintic smoothstep: 0 at u<=0, 1 at u>=1 (numpy or jnp)."""
+    if isinstance(u, np.ndarray):
+        u = np.clip(u, 0.0, 1.0)
+    else:
+        u = jnp.clip(u, 0.0, 1.0)
+    return u * u * u * (u * (u * 6.0 - 15.0) + 10.0)
+
+
 def make_pm_gravity(universe: float, grid: int, softener: float,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, cutoff_cells: float = 0.0):
     """Returns ``accel(pos[N,2], src_mass[N]) -> [N,2]`` (unscaled by G).
 
     Free-space (non-periodic) solve via zero padding to 2G x 2G. Sources
     outside the universe are dropped (the reference's buildTree also skips
-    out-of-bounds bodies, barnes_hut.cpp:120-127)."""
+    out-of-bounds bodies, barnes_hut.cpp:120-127). With ``cutoff_cells > 0``
+    the kernel carries only the S-smoothed far field (see module docstring);
+    pair the result with ``make_pp_correction`` for the short-range term."""
     G = int(grid)
     cell = universe / G
-    # PM cannot resolve below a cell; clamp the softening up to one cell to
-    # avoid self-force noise from CIC deposit/gather asymmetry.
-    soft = max(float(softener), cell)
+    if cutoff_cells > 0.0:
+        # P3M: the smoothstep rolloff removes the kernel's sharp peak, so no
+        # softening clamp is needed — use the scenario's exact softener.
+        soft = float(softener)
+    else:
+        # plain PM cannot resolve below a cell; clamp the softening up to one
+        # cell to avoid self-force noise from CIC deposit/gather asymmetry.
+        soft = max(float(softener), cell)
 
     # force kernels K(delta) = (c - c0) / (|d|^2 + soft^2)^{3/2} arranged in
     # wrapped offset order on the padded 2G grid; precomputed once on host
@@ -48,9 +89,31 @@ def make_pm_gravity(universe: float, grid: int, softener: float,
     dx = off[None, :]          # x varies along axis 1
     dy = off[:, None]
     d2 = dx * dx + dy * dy + soft * soft
-    inv = 1.0 / np.power(d2, 1.5)
+    inv = 1.0 / np.power(np.maximum(d2, 1e-300), 1.5)
+    if cutoff_cells > 0.0:
+        rc = cutoff_cells * cell
+        r0, rw = _ramp(rc, cell)
+        s = _smoothstep5((np.sqrt(dx * dx + dy * dy) - r0) / rw)
+        # s == 0 everywhere the unclamped-softener kernel can blow up
+        # (d < r0 covers the origin); kill those entries outright so a zero
+        # softener cannot produce inf*0 = NaN at the origin sample
+        with np.errstate(over="ignore", invalid="ignore"):
+            inv = np.where(s > 0.0, inv * s, 0.0)
     kx = np.fft.rfft2(-dx * inv)       # K(c0 - c) = -(c0-c)/(...)^(3/2)
     ky = np.fft.rfft2(-dy * inv)
+    if cutoff_cells > 0.0:
+        # Deconvolve the CIC assignment window (applied twice: mass deposit
+        # and force gather). CIC's per-axis transform is sinc^2; without this
+        # the mesh force is the true force smoothed over ~2 cells, a
+        # several-percent error at 4-8 cell separations — exactly the blend
+        # window. Amplification is bounded (<= ~37x at the corner Nyquist
+        # mode) and the short-range kernel rolloff keeps it out of the
+        # PP-corrected range.
+        fy = np.fft.fftfreq(P)[:, None]
+        fx = np.fft.rfftfreq(P)[None, :]
+        w2 = (np.sinc(fy) * np.sinc(fx)) ** 2     # one CIC pass
+        kx /= w2 * w2
+        ky /= w2 * w2
     # complex64 constants cannot be materialized on this TPU backend
     # (UNIMPLEMENTED) — carry the kernel FFTs as float32 real/imag pairs and
     # do the complex multiply in real arithmetic
@@ -111,6 +174,94 @@ def make_pm_gravity(universe: float, grid: int, softener: float,
         return jnp.stack([fxp, fyp], axis=-1)
 
     return accel
+
+
+def make_pp_correction(universe: float, grid: int, softener: float,
+                       cutoff_cells: float, max_per_cell: int,
+                       dtype=jnp.float32):
+    """Short-range particle-particle half of the P3M split (unscaled by G).
+
+    Returns ``correct(pos[N,2], src_mass[N]) -> [N,2]``: the exact softened
+    pair force scaled by ``1 - S(d/rc)`` summed over pairs with d < rc,
+    rc = cutoff_cells * (universe/grid). Complements the S-rolled mesh of
+    ``make_pm_gravity(..., cutoff_cells=rc_cells)`` — together they telescope
+    to the exact softened law below rc and the mesh's smooth field above.
+
+    Neighbor search is the framework's standard dense cell grid: cells rc
+    wide, 3x3 shifted-slice pair sweep (pure VPU work), deterministic first-K
+    per-cell residency (overflow particles get no correction — they keep the
+    smooth mesh force; same drop contract as the SPH grid)."""
+    cell = universe / int(grid)
+    rc = cutoff_cells * cell
+    r0, rw = _ramp(rc, cell)
+    K = int(max_per_cell)
+    nc = int(math.ceil(universe / rc))
+    ncells = nc * nc
+    s2c = float(softener) * float(softener)
+    rc2 = rc * rc
+
+    def correct(pos, src_mass):
+        N = pos.shape[0]
+        x, y = pos[:, 0], pos[:, 1]
+        gx = jnp.floor(x / rc).astype(jnp.int32)
+        gy = jnp.floor(y / rc).astype(jnp.int32)
+        ok = (gx >= 0) & (gx < nc) & (gy >= 0) & (gy < nc)
+        cid = jnp.where(ok, gy * nc + gx, ncells)
+        order = jnp.argsort(cid, stable=False)
+        counts = jnp.zeros((ncells + 1,), jnp.int32).at[cid].add(1)
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(counts[:-1], dtype=jnp.int32)])
+        sc = cid[order]
+        rank = jnp.arange(N) - start[jnp.clip(sc, 0, ncells)]
+        valid = (sc < ncells) & (rank < K)
+        slot = jnp.where(valid, sc * K + rank, ncells * K)
+        slot_p = jnp.full((N,), ncells * K, jnp.int32).at[order].set(
+            slot.astype(jnp.int32))
+
+        def scat(f):
+            flat = jnp.zeros((ncells * K + 1,), dtype)
+            flat = flat.at[slot_p].set(f.astype(dtype), mode="drop")
+            return jnp.pad(flat[:ncells * K].reshape(nc, nc, K),
+                           ((1, 1), (1, 1), (0, 0)))
+
+        Dx, Dy = scat(x), scat(y)
+        Dm, Do = scat(src_mass), scat(jnp.ones_like(x))
+        ctr = lambda v: v[1:-1, 1:-1]
+        cx = ctr(Dx)[..., :, None]            # [nc, nc, K, 1]
+        cy = ctr(Dy)[..., :, None]
+        co = ctr(Do)[..., :, None]
+        kk = jnp.arange(K)
+        diag = kk[:, None] == kk[None, :]
+        accx = jnp.zeros((nc, nc, K), dtype)
+        accy = jnp.zeros((nc, nc, K), dtype)
+        for dy_ in (0, 1, 2):
+            for dx_ in (0, 1, 2):
+                sl = lambda v: jax.lax.slice(
+                    v, (dy_, dx_, 0), (dy_ + nc, dx_ + nc, K))[..., None, :]
+                ddx = sl(Dx) - cx             # j - i -> [nc, nc, K, K]
+                ddy = sl(Dy) - cy
+                d2g = ddx * ddx + ddy * ddy
+                pair = (co * sl(Do)) > 0
+                if dy_ == 1 and dx_ == 1:
+                    pair = pair & ~diag
+                pair = pair & (d2g < rc2)
+                w = (1.0 - _smoothstep5((jnp.sqrt(d2g) - r0) / rw)) \
+                    / jnp.power(jnp.maximum(d2g + s2c, 1e-30), 1.5)
+                w = jnp.where(pair, sl(Dm) * w, 0.0)
+                accx = accx + (w * ddx).sum(-1)
+                accy = accy + (w * ddy).sum(-1)
+
+        fx_flat = jnp.concatenate([accx.reshape(-1),
+                                   jnp.zeros((1,), dtype)])
+        fy_flat = jnp.concatenate([accy.reshape(-1),
+                                   jnp.zeros((1,), dtype)])
+        s = jnp.clip(slot_p, 0, ncells * K)
+        res = slot_p < ncells * K
+        ax = jnp.where(res, fx_flat[s], 0.0)
+        ay = jnp.where(res, fy_flat[s], 0.0)
+        return jnp.stack([ax, ay], axis=-1)
+
+    return correct
 
 
 def make_heavy_direct(heavy_cap: int, softener: float):

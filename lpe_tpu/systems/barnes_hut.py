@@ -10,12 +10,14 @@ Pointer trees are hostile to the TPU; two replacements are provided:
    north-star scale this is faster than any tree walk on this hardware *and*
    exact (theta -> 0), strictly more accurate than the reference.
 
-2. **Particle-mesh far field** (large N, :mod:`lpe_tpu.ops.pm_gravity`):
-   CIC mass deposit -> FFT force convolution -> CIC gather, plus an exact
-   direct sum over the few *heavy* bodies (above
-   ``BarnesHutConfig.heavy_threshold``) so dominant central forces are never
-   smeared by the mesh. O(G^2 log G) independent of N; mesh smearing plays
-   the role of the theta-approximation error. Selected when capacity exceeds
+2. **P3M far field** (large N, :mod:`lpe_tpu.ops.pm_gravity`):
+   CIC mass deposit -> FFT force convolution -> CIC gather with a
+   smoothstep-rolled kernel, a dense cell-grid particle-particle pass adding
+   the exact complementary short-range force below the cutoff (so close
+   pairs are *exact*, not smeared), plus an exact direct sum over the few
+   *heavy* bodies (above ``BarnesHutConfig.heavy_threshold``) so dominant
+   central forces are never meshed. O(G^2 log G + N*K) independent of
+   particle pairing; selected when capacity exceeds
    ``BarnesHutConfig.direct_sum_max_bodies``.
 
 Semantics parity notes:
@@ -89,8 +91,14 @@ def make_barnes_hut(spec: SceneSpec, cfg: ScenarioSystemConfig):
     chunk = max(128, min(n, (1 << 25) // max(n, 1) // 1 * 8))
     use_pm = n > bh.direct_sum_max_bodies
     if use_pm:
-        from ..ops.pm_gravity import make_heavy_direct, make_pm_gravity
-        pm = make_pm_gravity(size, bh.pm_grid, sh.gravitational_softener)
+        from ..ops.pm_gravity import (make_heavy_direct, make_pm_gravity,
+                                      make_pp_correction)
+        pm = make_pm_gravity(size, bh.pm_grid, sh.gravitational_softener,
+                             cutoff_cells=bh.p3m_cutoff_cells)
+        pp = (make_pp_correction(size, bh.pm_grid,
+                                 sh.gravitational_softener,
+                                 bh.p3m_cutoff_cells, bh.p3m_max_per_cell)
+              if bh.p3m_cutoff_cells > 0 else None)
         heavy_direct = make_heavy_direct(bh.heavy_cap,
                                          sh.gravitational_softener)
 
@@ -107,6 +115,8 @@ def make_barnes_hut(spec: SceneSpec, cfg: ScenarioSystemConfig):
             heavy = src & (b.mass >= bh.heavy_threshold)
             mesh_mass = jnp.where(src & ~heavy, b.mass, 0.0)
             acc = pm(b.pos, mesh_mass) + heavy_direct(b.pos, b.mass, heavy)
+            if pp is not None:
+                acc = acc + pp(b.pos, mesh_mass)
             acc = REAL_G * acc * rcv[:, None].astype(acc.dtype)
         else:
             acc = _direct_sum_accel(b.pos, b.mass, src, rcv, soft2, chunk)

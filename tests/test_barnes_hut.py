@@ -78,18 +78,8 @@ def test_system_statically_disabled_when_all_masses_small():
     assert make_barnes_hut(sc.spec, sc.cfg) is None
 
 
-def test_pm_far_field_matches_direct_sum():
-    """Particle-mesh (ops/pm_gravity.py) vs the exact direct sum on a
-    self-gravitating random blob: mesh smearing error stays in the same
-    class as the reference's theta=0.5 approximation (~1%)."""
+def _pm_vs_direct_err(sc, bh_pm):
     import jax
-    rng = np.random.default_rng(0)
-    n = 400
-    ents = [dict(pos=(float(x), float(y)), mass=1e20)
-            for x, y in rng.uniform(2e9, 8e9, (n, 2))]
-    sc = scene(ents, soft=1e6)
-    # force the PM path with a tiny direct-sum cutoff
-    bh_pm = BarnesHutConfig(direct_sum_max_bodies=1, pm_grid=1024)
     cfg_pm = sc.cfg.replace(barnes_hut=bh_pm)
     step_d = jax.jit(make_barnes_hut(sc.spec, sc.cfg))
     step_p = jax.jit(make_barnes_hut(sc.spec, cfg_pm))
@@ -98,12 +88,46 @@ def test_pm_far_field_matches_direct_sum():
     vp = np.asarray(step_p(sc.state).bodies.vel) - v0
     act = np.asarray(sc.state.bodies.active)
     mag = np.linalg.norm(vd[act], axis=1)
-    err = np.linalg.norm((vd - vp)[act], axis=1) / np.maximum(mag, 1e-30)
-    # far field resolves to <1% (median); the p95 tail is close *pairs*,
-    # which pure PM smears by construction (P3M near-field correction is the
-    # planned refinement) — same error class as the reference's theta=0.5
-    assert np.median(err) < 0.02
-    assert np.percentile(err, 95) < 0.15
+    return np.linalg.norm((vd - vp)[act], axis=1) / np.maximum(mag, 1e-30)
+
+
+def _blob_scene(n=400, seed=0, cluster=False):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(2e9, 8e9, (n, 2))
+    if cluster:
+        # put half the bodies in tight clumps so close pairs (the plain-PM
+        # failure mode) are common
+        centers = pts[: n // 8]
+        pts[n // 2:] = centers[rng.integers(0, len(centers), n // 2)] \
+            + rng.normal(0.0, 2.5e7, (n // 2, 2))
+    ents = [dict(pos=(float(x), float(y)), mass=1e20) for x, y in pts]
+    return scene(ents, soft=1e6)
+
+
+def test_pm_far_field_matches_direct_sum():
+    """P3M (ops/pm_gravity.py, default config) vs the exact direct sum on a
+    self-gravitating random blob: with the smoothstep-split mesh + exact
+    short-range pair correction the error is ~float-noise class everywhere,
+    an order tighter than the reference's theta=0.5 walk."""
+    err = _pm_vs_direct_err(
+        _blob_scene(),
+        BarnesHutConfig(direct_sum_max_bodies=1, pm_grid=1024,
+                        p3m_max_per_cell=16))
+    assert np.median(err) < 0.005
+    assert np.percentile(err, 95) < 0.015
+
+
+def test_p3m_close_pairs_beat_plain_pm():
+    """On a clustered blob (many sub-cutoff pairs) the P3M correction must
+    collapse the close-pair error tail that plain PM smears."""
+    sc = _blob_scene(cluster=True, seed=1)
+    err_p3m = _pm_vs_direct_err(
+        sc, BarnesHutConfig(direct_sum_max_bodies=1, pm_grid=1024))
+    err_pm = _pm_vs_direct_err(
+        sc, BarnesHutConfig(direct_sum_max_bodies=1, pm_grid=1024,
+                            p3m_cutoff_cells=0.0))
+    assert np.percentile(err_p3m, 95) < 0.03
+    assert np.percentile(err_p3m, 95) < 0.5 * np.percentile(err_pm, 95)
 
 
 def test_pm_heavy_body_is_exact():
