@@ -8,8 +8,10 @@ the 3x3 tile neighborhood resident in VMEM and cut the two big wastes:
   program skip its tile entirely (``pl.when``) — dam-break/tank scenes leave
   most of the universe empty, and at large N a row-only skip still pays for
   every empty column of an occupied row (the fluid column fills ~1/3 of x);
-- **occupancy slack**: the neighbor-slot loop masks to each source row-tile
-  neighborhood's actual max occupancy instead of the static cap K.
+- **occupancy slack**: the neighbor-slot loop is a fori bounded by each
+  source row-tile neighborhood's actual max occupancy instead of the static
+  cap K — pair work scales with real occupancy (typically K/4..K/2), while
+  K stays a pure capacity bound for transient compression spikes.
 
 Math is bit-identical to the XLA path (poly6 density + EOS clamp, symmetric
 spiky pressure + viscosity Laplacian; reference: fluid_kernels.metal:246-403)
@@ -85,6 +87,10 @@ def _density_kernel(h2, poly6, K, TX, NT, rm_ref, *refs):
 
     @pl.when(rm_ref[j + 1, t] > 0)
     def _():
+        # density keeps the full [K, K, TX] broadcast: its per-pair math
+        # (one poly6 eval) is too cheap to amortize a bounded-fori's loop +
+        # scratch-staging overhead — measured slower. The force kernel, with
+        # ~4x the math per pair, wins from the occupancy bound.
         FX, FY, FM, FO = 0, 1, 2, 3
         ctr = rows[1][1]
         cx = ctr[FX, 0][:, None, :]            # [K, 1, TX] center cells
@@ -125,57 +131,67 @@ def _force_kernel(h, h2, spiky, visc_lap, viscosity, min_d2, min_rho,
         outx[0] = jnp.zeros((K, TX), outx.dtype)
         outy[0] = jnp.zeros((K, TX), outy.dtype)
 
+    scratch = refs[11]                         # VMEM [8, K, TX+2]
+
     @pl.when(rm_ref[j + 1, t] > 0)
     def _():
         FX, FY, FVX, FVY, FM, FR, FP, FO = range(8)
         ctr = rows[1][1]
-        cx = ctr[FX, 0][:, None, :]
-        cy = ctr[FY, 0][:, None, :]
-        cvx = ctr[FVX, 0][:, None, :]
-        cvy = ctr[FVY, 0][:, None, :]
-        crho = ctr[FR, 0][:, None, :]
-        cp = ctr[FP, 0][:, None, :]
-        cocc = ctr[FO, 0][:, None, :]
+        cx = ctr[FX, 0]                        # [K, TX]
+        cy = ctr[FY, 0]
+        cvx = ctr[FVX, 0]
+        cvy = ctr[FVY, 0]
+        crho = ctr[FR, 0]
+        cp = ctr[FP, 0]
+        cocc = ctr[FO, 0]
         cterm = cp / jnp.maximum(crho * crho, 1e-30)
-        k1 = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 0)
-        k2i = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 1)
-        diag = k1 == k2i
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (K, TX), 0)
         fx_a = jnp.zeros((K, TX), outx.dtype)
         fy_a = jnp.zeros((K, TX), outy.dtype)
+        # occupancy-bounded neighbor-slot fori (see _density_kernel)
         for r, (bl, bm, br) in enumerate(rows):
-            e = [_ext(bl, bm, br, f, K, TX) for f in range(7)]
-            eo = _ext(bl, bm, br, FO, K, TX, (t, NT))
-            live = k2i[:1] < _src_bound(rm_ref, j + r, t, NT)   # [1, K, 1]
-            for dx in range(3):
-                sl = lambda a: a[:, dx:dx + TX][None]
-                nbx, nby = sl(e[FX]), sl(e[FY])
-                nbvx, nbvy = sl(e[FVX]), sl(e[FVY])
-                nbm, nbrho, nbp = sl(e[FM]), sl(e[FR]), sl(e[FP])
-                nbo = sl(eo)
-                ddx = cx - nbx
-                ddy = cy - nby
-                r2 = ddx * ddx + ddy * ddy
-                ok = live & (cocc * nbo > 0) & (r2 >= min_d2) & (r2 < h2) \
-                    & (nbrho >= min_rho) & (crho >= min_rho)
-                if r == 1 and dx == 1:
-                    ok = ok & ~diag
-                rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
-                term = cterm + nbp / jnp.maximum(nbrho * nbrho, 1e-30)
-                w_spiky = spiky * (h - rr) ** 2
-                f_press = -nbm * term * w_spiky
-                fx = f_press * ddx / rr
-                fy = f_press * ddy / rr
-                f_visc = viscosity * nbm * (
-                    visc_lap * (h - rr) / jnp.maximum(nbrho, 1e-30))
-                fx = fx - f_visc * (cvx - nbvx)
-                fy = fy - f_visc * (cvy - nbvy)
-                fx_a = fx_a + jnp.where(ok, fx, 0.0).sum(1)
-                fy_a = fy_a + jnp.where(ok, fy, 0.0).sum(1)
+            scratch[...] = jnp.stack(
+                [_ext(bl, bm, br, f, K, TX) for f in range(7)]
+                + [_ext(bl, bm, br, FO, K, TX, (t, NT))])   # [8, K, TX+2]
+            bound = _src_bound(rm_ref, j + r, t, NT)
+
+            def body(k2, acc, r=r):
+                fxa, fya = acc
+                sl = scratch[:, pl.ds(k2, 1), :]            # [8, 1, TX+2]
+                for dx in range(3):
+                    c = lambda f: sl[f, :, dx:dx + TX]      # [1, TX]
+                    nbx, nby = c(FX), c(FY)
+                    nbvx, nbvy = c(FVX), c(FVY)
+                    nbm, nbrho, nbp = c(FM), c(FR), c(FP)
+                    nbo = c(FO)
+                    ddx = cx - nbx
+                    ddy = cy - nby
+                    r2 = ddx * ddx + ddy * ddy
+                    ok = (cocc * nbo > 0) & (r2 >= min_d2) & (r2 < h2) \
+                        & (nbrho >= min_rho) & (crho >= min_rho)
+                    if r == 1 and dx == 1:
+                        ok = ok & (k1 != k2)
+                    rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
+                    term = cterm + nbp / jnp.maximum(nbrho * nbrho, 1e-30)
+                    w_spiky = spiky * (h - rr) ** 2
+                    f_press = -nbm * term * w_spiky
+                    fx = f_press * ddx / rr
+                    fy = f_press * ddy / rr
+                    f_visc = viscosity * nbm * (
+                        visc_lap * (h - rr) / jnp.maximum(nbrho, 1e-30))
+                    fx = fx - f_visc * (cvx - nbvx)
+                    fy = fy - f_visc * (cvy - nbvy)
+                    fxa = fxa + jnp.where(ok, fx, 0.0)
+                    fya = fya + jnp.where(ok, fy, 0.0)
+                return fxa, fya
+
+            fx_a, fy_a = jax.lax.fori_loop(0, bound, body, (fx_a, fy_a))
         outx[0] = fx_a
         outy[0] = fy_a
 
 
-def _grid_spec(ny: int, NT: int, F: int, K: int, TX: int, n_out: int):
+def _grid_spec(ny: int, NT: int, F: int, K: int, TX: int, n_out: int,
+               dtype=jnp.float32, scratch: bool = False):
     out_spec = pl.BlockSpec((1, K, TX), lambda j, t, rm: (j, 0, t),
                             memory_space=pltpu.VMEM)
     return pltpu.PrefetchScalarGridSpec(
@@ -183,6 +199,10 @@ def _grid_spec(ny: int, NT: int, F: int, K: int, TX: int, n_out: int):
         grid=(ny, NT),
         in_specs=_in_specs(F, K, TX, NT),
         out_specs=out_spec if n_out == 1 else [out_spec] * n_out,
+        # staging buffer for the halo-extended source row: dynamic slot
+        # indexing (the occupancy-bounded fori) must read through a ref
+        scratch_shapes=([pltpu.VMEM((F, K, TX + 2), dtype)] if scratch
+                        else []),
     )
 
 
@@ -218,7 +238,8 @@ def make_force(ny: int, NT: int, K: int, h: float, spiky: float,
                              viscosity, min_d2, min_rho, K, TX, NT)
     call = pl.pallas_call(
         kern,
-        grid_spec=_grid_spec(ny, NT, 8, K, TX, 2),
+        grid_spec=_grid_spec(ny, NT, 8, K, TX, 2, dtype=dtype,
+                             scratch=True),
         out_shape=[jax.ShapeDtypeStruct((ny, K, NT * TX), dtype),
                    jax.ShapeDtypeStruct((ny, K, NT * TX), dtype)],
         interpret=interpret,
