@@ -206,6 +206,289 @@ def _grid_spec(ny: int, NT: int, F: int, K: int, TX: int, n_out: int,
     )
 
 
+def _coupling_kernel(NR, V, W, cn, K, TX, cpl_ref, rig_ref, d_ref,
+                     ox, oy, ovx, ovy, oax, oay, orf):
+    """Fused rigid-fluid coupling over one (row, tile) block.
+
+    Ports the XLA overlap/impulse/position solves (systems/fluid/sph.py,
+    reference: fluid_kernels.metal:533-924) as one VPU pass: per-slot fields
+    are read once and written once instead of materializing ~25 [NR, slots]
+    intermediates in HBM. The rigid loop is a static unroll (NR is a scene
+    constant); per-rigid force/torque partials go to a per-program output
+    row that the caller sums. ``cn`` is the dict of solver constants.
+    """
+    j = pl.program_id(0)
+    t = pl.program_id(1)
+    FX, FY, FVX, FVY, FR, FP, FM, FO, FAX, FAY = range(10)
+    d = d_ref[:, 0]                    # [10, K, TX]
+
+    @pl.when(cpl_ref[j + 1, t] == 0)
+    def _():
+        ox[0] = d[FX]
+        oy[0] = d[FY]
+        ovx[0] = d[FVX]
+        ovy[0] = d[FVY]
+        oax[0] = d[FAX]
+        oay[0] = d[FAY]
+        orf[0, 0] = jnp.zeros((8, 128), orf.dtype)
+
+    @pl.when(cpl_ref[j + 1, t] > 0)
+    def _():
+        px, py = d[FX], d[FY]
+        vx1, vy1 = d[FVX], d[FVY]
+        rho, p, m = d[FR], d[FP], d[FM]
+        occ = d[FO]
+        ax, ay = d[FAX], d[FAY]
+        rig = rig_ref[...]             # [NR, W] (static indexing below)
+
+        z = jnp.zeros((K, TX), px.dtype)
+        fz = jnp.zeros((K, TX), jnp.bool_)
+        acx, acy = z, z                 # position corrections (sum rigids)
+        sfx, sfy = z, z                 # impulse force on fluid (sum rigids)
+        had_pos, had_imp = fz, fz
+        rpart = []
+        for r in range(NR):
+            c = lambda i: rig[r, i]
+            rpx, rpy, rvxs, rvys, rom = c(0), c(1), c(2), c(3), c(4)
+            rmass, rinert, rrad = c(5), c(6), c(7)
+            ric, rvalid, rnv = c(8), c(9), c(10)
+            minx, miny, maxx, maxy = c(11), c(12), c(13), c(14)
+            rx = px - rpx
+            ry = py - rpy
+            in_aabb = (px >= minx) & (px <= maxx) & \
+                      (py >= miny) & (py <= maxy) & (rvalid > 0) & (occ > 0)
+            # circle overlap (skipped at trace time for all-polygon scenes)
+            if cn["any_circle"]:
+                d2 = rx * rx + ry * ry
+                dist_c = jnp.sqrt(jnp.maximum(d2, 1e-30))
+                inside_c = d2 < rrad * rrad
+            else:
+                dist_c = jnp.full((K, TX), 1.0, px.dtype)
+                inside_c = fz
+            # polygon overlap: ray-cast parity + closest boundary point
+            # (reference: metal:125-194). Static vert unroll, nv-masked;
+            # skipped at trace time for all-circle scenes.
+            parity = jnp.zeros((K, TX), jnp.int32)
+            best_d2 = jnp.full((K, TX), 1e30, px.dtype)
+            cxb, cyb = z, z
+            for v in range(V if cn["any_poly"] else 0):
+                vm = jnp.float32(v) < rnv
+                xi, yi = rig[r, 15 + 2 * v], rig[r, 16 + 2 * v]
+                # prev vertex: v-1, wrapping v==0 -> nv-1 (scalar select
+                # over the static vert list keeps indexing static)
+                if v == 0:
+                    xj, yj = xi, yi
+                    for u in range(1, V):
+                        sel = jnp.float32(u) == rnv - 1.0
+                        xj = jnp.where(sel, rig[r, 15 + 2 * u], xj)
+                        yj = jnp.where(sel, rig[r, 16 + 2 * u], yj)
+                else:
+                    xj = rig[r, 15 + 2 * (v - 1)]
+                    yj = rig[r, 16 + 2 * (v - 1)]
+                denom = yj - yi
+                tx_ = (xj - xi) * (py - yi) / jnp.where(
+                    jnp.abs(denom) < 1e-30, 1e-30, denom) + xi
+                crosses = ((yi > py) != (yj > py)) & (px < tx_) & vm
+                parity = parity + crosses.astype(jnp.int32)
+                # closest point on edge v -> v+1 (wrap nv-1 -> 0)
+                if v + 1 < V:
+                    wrap = jnp.float32(v) == rnv - 1.0
+                    x2s = jnp.where(wrap, rig[r, 15],
+                                    rig[r, 15 + 2 * (v + 1)])
+                    y2s = jnp.where(wrap, rig[r, 16],
+                                    rig[r, 16 + 2 * (v + 1)])
+                else:
+                    x2s, y2s = rig[r, 15], rig[r, 16]
+                ex = x2s - xi
+                ey = y2s - yi
+                el2 = ex * ex + ey * ey
+                tt = ((px - xi) * ex + (py - yi) * ey) \
+                    / jnp.where(el2 < 1e-16, 1e-16, el2)
+                tt = jnp.clip(tt, 0.0, 1.0)
+                qx = xi + tt * ex
+                qy = yi + tt * ey
+                qd2 = (px - qx) ** 2 + (py - qy) ** 2
+                qd2 = jnp.where(vm & (el2 >= 1e-16), qd2, 1e30)
+                better = qd2 < best_d2
+                best_d2 = jnp.where(better, qd2, best_d2)
+                cxb = jnp.where(better, qx, cxb)
+                cyb = jnp.where(better, qy, cyb)
+            inside_p = ((parity % 2) == 1) & (rnv >= 3.0)
+            pdx = px - cxb
+            pdy = py - cyb
+            dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
+            if cn["any_circle"] and cn["any_poly"]:
+                is_c = ric > 0
+            else:                      # uniform scenes: constant predicate,
+                is_c = bool(cn["any_circle"])   # dead branch folds away
+            inside = in_aabb & jnp.where(is_c, inside_c, inside_p)
+
+            # ---- position correction (metal:533-668) ----
+            msd = cn["min_safe_distance"]
+            d_c = jnp.maximum(dist_c, msd)
+            dirx_c = jnp.where(dist_c < msd, 1.0, rx / d_c)
+            diry_c = jnp.where(dist_c < msd, 0.0, ry / d_c)
+            pen_c = (rrad - d_c) + cn["safety_margin"]
+            d_p = jnp.maximum(dist_p, msd)
+            dirx_p = jnp.where(dist_p < msd, 1.0, pdx / d_p)
+            diry_p = jnp.where(dist_p < msd, 0.0, pdy / d_p)
+            pen_p = d_p + cn["safety_margin"]
+            corr_x = jnp.where(is_c, -dirx_c * pen_c, dirx_p * pen_p)
+            corr_y = jnp.where(is_c, -diry_c * pen_c, diry_p * pen_p)
+            acx = acx + jnp.where(inside, corr_x * cn["relax_factor"], 0.0)
+            acy = acy + jnp.where(inside, corr_y * cn["relax_factor"], 0.0)
+            had_pos = had_pos | inside
+
+            # ---- impulse exchange (metal:679-924) ----
+            mpen = cn["min_penetration"]
+            rb_v2 = rvxs * rvxs + rvys * rvys + rom * rom
+            ok_r = rb_v2 <= cn["max_safe_velocity_sq"]
+            pen = jnp.where(is_c,
+                            jnp.maximum(rrad - jnp.maximum(dist_c, mpen),
+                                        0.0),
+                            jnp.maximum(dist_p, mpen))
+            nrm_x = jnp.where(is_c, rx / jnp.maximum(dist_c, mpen),
+                              pdx / jnp.maximum(dist_p, mpen))
+            nrm_y = jnp.where(is_c, ry / jnp.maximum(dist_c, mpen),
+                              pdy / jnp.maximum(dist_p, mpen))
+            act = inside & ok_r & (pen >= mpen)
+            dens = jnp.where(rho > 0.0, rho, cn["rest_density"])
+            rig_vx = rvxs - rom * ry
+            rig_vy = rvys + rom * rx
+            rvx = vx1 - rig_vx
+            rvy = vy1 - rig_vy
+            depth_f = jnp.tanh(cn["depth_transition_rate"] * pen
+                               / cn["depth_scale"])
+            vn = rvx * nrm_x + rvy * nrm_y
+            tvx = rvx - nrm_x * vn
+            tvy = rvy - nrm_y * vn
+            vol = jnp.where(rho > 0, m / jnp.maximum(rho, 1e-30),
+                            m / cn["rest_density"])
+            area = jnp.abs(vol) ** (2.0 / 3.0)
+            depth = jnp.minimum(py / cn["depth_estimate_scale"], 1.0)
+            hydro = dens * cn["gravity"] * depth
+            total_p = p + hydro
+            pforce = total_p * area * depth_f
+            maxF = cn["max_force"]
+            fx = nrm_x * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
+            fy = nrm_y * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
+            tmag = jnp.sqrt(tvx * tvx + tvy * tvy)
+            hast = tmag > cn["min_rel_velocity"]
+            vforce = cn["viscosity"] * cn["viscosity_scale"] * tmag * dens \
+                * depth_f * cn["sub_dt"]
+            vcap = jnp.minimum(vforce, maxF * cn["viscous_force_ratio"])
+            fx = fx + jnp.where(hast, -tvx / jnp.maximum(tmag, 1e-30) * vcap,
+                                0.0)
+            fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap,
+                                0.0)
+            buoy = -cn["buoyancy_strength"] * pen * area * cn["gravity"] \
+                * dens
+            bfy = jnp.where(rmass > 0.1, buoy, 0.0)
+            keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= maxF
+            fy = jnp.where(keep, fy + bfy, fy)
+            fmag = jnp.sqrt(fx * fx + fy * fy)
+            fscale = jnp.where(fmag > maxF,
+                               maxF / jnp.maximum(fmag, 1e-30), 1.0)
+            fx = fx * fscale
+            fy = fy * fscale
+            tq = jnp.clip(rx * fy - ry * fx, -cn["max_torque"],
+                          cn["max_torque"])
+            spin = jnp.abs(rom) > cn["angular_damping_threshold"]
+            tq = tq - jnp.where(
+                spin, cn["angular_damping_factor"] * jnp.sign(rom)
+                * jnp.abs(rom) * rinert, 0.0)
+            fx = jnp.where(act, fx, 0.0)
+            fy = jnp.where(act, fy, 0.0)
+            tq = jnp.where(act, tq, 0.0)
+            rpart.extend([fx.sum(), fy.sum(), tq.sum()])
+            sfx = sfx + fx
+            sfy = sfy + fy
+            had_imp = had_imp | act
+
+        # ---- post-loop finalization ----
+        # fluid back-reaction (Newton's 3rd law)
+        ffx = -sfx * cn["fluid_force_scale"]
+        ffy = -sfy * cn["fluid_force_scale"]
+        fm = jnp.sqrt(ffx * ffx + ffy * ffy)
+        fsc = jnp.where(fm > cn["fluid_force_max"],
+                        cn["fluid_force_max"] / jnp.maximum(fm, 1e-30), 1.0)
+        inv_m = jnp.where(m > 1e-4, 1.0 / m, 1.0)
+        oax[0] = jnp.where(had_imp, ax + ffx * fsc * inv_m, ax)
+        oay[0] = jnp.where(had_imp, ay + ffy * fsc * inv_m, ay)
+        # position push-out + velocity fix-up
+        mag = jnp.sqrt(acx * acx + acy * acy)
+        scale = jnp.where(mag > cn["max_correction"],
+                          cn["max_correction"] / jnp.maximum(mag, 1e-30),
+                          1.0)
+        nx_ = px - acx * scale
+        ny_ = py - acy * scale
+        off = cn["boundary_offset"]
+        nx_ = jnp.where(nx_ < 0.0, off, nx_)
+        ny_ = jnp.where(ny_ < 0.0, off, ny_)
+        ddx = nx_ - px
+        ddy = ny_ - py
+        dmag = jnp.sqrt(ddx * ddx + ddy * ddy)
+        moved = had_pos & (dmag > cn["min_position_change"])
+        cdx = ddx / jnp.maximum(dmag, 1e-30)
+        cdy = ddy / jnp.maximum(dmag, 1e-30)
+        valong = vx1 * cdx + vy1 * cdy
+        fix = moved & (valong < 0.0)
+        ox[0] = nx_
+        oy[0] = ny_
+        ovx[0] = jnp.where(fix, vx1 - valong * cdx, vx1)
+        ovy[0] = jnp.where(fix, vy1 - valong * cdy, vy1)
+        # per-rigid force/torque partials, padded into one (8, 128) tile
+        # (TPU block shapes need the trailing dims tile-aligned)
+        part = jnp.pad(jnp.stack(rpart), (0, 8 * 128 - 3 * NR))
+        orf[0, 0] = part.reshape(8, 128)
+
+
+def make_coupling(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
+                  TX: int = TILE_X, dtype=jnp.float32,
+                  interpret: bool = False):
+    """Returns ``couple(cpl2, rig, D10) -> (x, y, vx, vy, ax, ay, rpart)``.
+
+    D10 is the field stack [10(x,y,vx1,vy1,rho,p,m,occ,ax,ay), ny+2, K,
+    NT*TX]; cpl2 [ny+2, NT] int32 marks (row, tile)s with occupancy AND a
+    rigid AABB overlap; rig is the [NR, 15+2V] rigid proxy table. Outputs
+    are interior rows [ny, K, NT*TX] plus per-(row, tile) rigid partials
+    in one (8, 128) tile each, [ny, NT, 8, 128] (sum the first two axes and
+    take the leading 3*NR values -> [NR, 3]). 3*NR must fit the tile."""
+    if 3 * NR > 8 * 128:
+        raise ValueError(f"coupling kernel supports NR <= 341, got {NR}")
+    W = 15 + 2 * V
+    kern = functools.partial(_coupling_kernel, NR, V, W, consts, K, TX)
+    out_spec = pl.BlockSpec((1, K, TX), lambda j, t, cpl: (j, 0, t),
+                            memory_space=pltpu.VMEM)
+    rig_out_spec = pl.BlockSpec((1, 1, 8, 128),
+                                lambda j, t, cpl: (j, t, 0, 0),
+                                memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ny, NT),
+        in_specs=[
+            pl.BlockSpec((NR, W), lambda j, t, cpl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, 1, K, TX), lambda j, t, cpl: (0, j + 1, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 6 + [rig_out_spec],
+    )
+    shp = jax.ShapeDtypeStruct((ny, K, NT * TX), dtype)
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[shp] * 6 + [jax.ShapeDtypeStruct((ny, NT, 8, 128),
+                                                    dtype)],
+        interpret=interpret,
+    )
+
+    def couple(cpl2, rig, D10):
+        return call(cpl2, rig, D10)
+
+    return couple
+
+
 def make_density(ny: int, NT: int, K: int, h: float, poly6: float,
                  TX: int = TILE_X, dtype=jnp.float32,
                  interpret: bool = False):

@@ -82,6 +82,11 @@ class SceneSpec:
     # same for the solid slice only (rigid narrowphase/clipping); >= 8 when
     # any solid circle exists (circles clip as 8-gons, narrowphase.cpp:56-67)
     max_solid_verts: int = constants.MAX_POLY_VERTS
+    # static shape-population facts over the non-liquid slice: when a scene
+    # has no circle (or no polygon) rigids, the fluid-coupling kernels
+    # constant-fold the dead branch away (XLA DCEs it)
+    any_rigid_circle: bool = True
+    any_rigid_polygon: bool = True
     name: str = "scene"
 
     @property
@@ -225,6 +230,10 @@ class SceneBuilder:
             max_solid_verts=max(
                 3, int(nverts[:ns].max(initial=0)),
                 8 if (shape_kind[:ns] == int(ShapeKind.CIRCLE)).any() else 0),
+            any_rigid_circle=bool(
+                (shape_kind[:ns + ng] == int(ShapeKind.CIRCLE)).any()),
+            any_rigid_polygon=bool(
+                (shape_kind[:ns + ng] == int(ShapeKind.POLYGON)).any()),
             name=self.name,
         )
 

@@ -583,6 +583,93 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
     isv = fc.impulse_solver
     psv = fc.position_solver
 
+    # Fused Pallas coupling (TPU): one pass over the dense grid reading each
+    # per-slot field once, vs the XLA path's ~25 materialized [NR, slots]
+    # intermediates. Tiles with no occupancy or no rigid AABB overlap are
+    # skipped via a scalar-prefetched mask.
+    use_cpl_kernel = use_pallas and 0 < NR <= 341   # partial-tile capacity
+    if use_cpl_kernel:
+        from ...ops.pallas_sph import make_coupling
+        _VR = spec.max_rigid_verts
+        _CN = dict(
+            min_safe_distance=psv.min_safe_distance,
+            safety_margin=psv.safety_margin, relax_factor=psv.relax_factor,
+            max_correction=psv.max_correction,
+            min_position_change=psv.min_position_change,
+            boundary_offset=fc.grid.boundary_offset,
+            min_penetration=isv.min_penetration,
+            max_safe_velocity_sq=isv.max_safe_velocity_sq,
+            rest_density=fc.rest_density,
+            depth_transition_rate=isv.depth_transition_rate,
+            depth_scale=isv.depth_scale,
+            depth_estimate_scale=isv.depth_estimate_scale,
+            gravity=fc.gravity, max_force=isv.max_force,
+            pressure_force_ratio=isv.pressure_force_ratio,
+            min_rel_velocity=isv.min_rel_velocity, viscosity=fc.viscosity,
+            viscosity_scale=isv.viscosity_scale, sub_dt=sub_dt,
+            viscous_force_ratio=isv.viscous_force_ratio,
+            buoyancy_strength=isv.buoyancy_strength,
+            max_torque=isv.max_torque,
+            angular_damping_threshold=isv.angular_damping_threshold,
+            angular_damping_factor=isv.angular_damping_factor,
+            fluid_force_scale=isv.fluid_force_scale,
+            fluid_force_max=isv.fluid_force_max,
+            any_circle=spec.any_rigid_circle,
+            any_poly=spec.any_rigid_polygon,
+        )
+        _pl_couple = make_coupling(ny, _NT, K, NR, _VR, _CN,
+                                   interpret=_interp)
+
+        def _rigid_table(R):
+            cols = jnp.stack([
+                R["pos"][:, 0], R["pos"][:, 1],
+                R["vel"][:, 0], R["vel"][:, 1], R["omega"],
+                R["mass"], R["inertia"], R["radius"],
+                R["is_circle"].astype(jnp.float32),
+                R["valid"].astype(jnp.float32),
+                R["nverts"].astype(jnp.float32),
+                R["minx"], R["miny"], R["maxx"], R["maxy"]], axis=1)
+            wxy = jnp.stack([R["wx"], R["wy"]], axis=-1).reshape(NR, 2 * _VR)
+            return jnp.concatenate([cols, wxy], axis=1)     # [NR, 15+2V]
+
+        def _cpl_mask(occ_pad, R, row_off=0):
+            """[rows, NT] int32: tile has particles AND a rigid AABB within
+            a one-cell slack (coupling is a no-op outside the AABB)."""
+            rm = _tile_bounds(occ_pad)
+            tx0 = (jnp.arange(_NT) * _TX - 2).astype(occ_pad.dtype) * cell
+            tx1 = tx0 + (_TX + 2) * cell
+            rows = occ_pad.shape[0]
+            ry0 = (jnp.arange(rows) - 2 + row_off).astype(occ_pad.dtype) \
+                * cell
+            ry1 = ry0 + 3.0 * cell
+            ovx = (R["minx"][None, :] <= tx1[:, None]) & \
+                  (R["maxx"][None, :] >= tx0[:, None])      # [NT, NR]
+            ovy = (R["miny"][None, :] <= ry1[:, None]) & \
+                  (R["maxy"][None, :] >= ry0[:, None])      # [rows, NR]
+            ov = (ovy[:, None, :] & ovx[None, :, :]
+                  & R["valid"][None, None, :]).any(-1)
+            return ((rm > 0) & ov).astype(jnp.int32)
+
+        def _couple_pl(pl_couple, Dn, vx1, vy1, ax1, ay1, rig_tab, R,
+                       row_off=0):
+            """Run the fused kernel; returns (D2-updates..., dFx, dFy, dTq).
+            The out-of-tank floor clamp is re-applied globally in XLA so
+            skipped tiles match the XLA path exactly (it is idempotent on
+            tiles the kernel already processed)."""
+            D10 = jnp.stack([
+                _padx(Dn["x"]), _padx(Dn["y"]), _padx(vx1), _padx(vy1),
+                _padx(Dn["rho"]), _padx(Dn["p"]), _padx(Dn["m"]),
+                _padx(Dn["occ"]), _padx(ax1), _padx(ay1)])
+            cpl2 = _cpl_mask(Dn["occ"], R, row_off)
+            outs = pl_couple(cpl2, rig_tab, D10)
+            prow = lambda v: jnp.pad(v[:, :, :nxp], ((1, 1), (0, 0), (0, 0)))
+            x2, y2, vx2, vy2, ax2, ay2 = [prow(o) for o in outs[:6]]
+            off = fc.grid.boundary_offset
+            x2 = jnp.where(x2 < 0.0, off, x2)
+            y2 = jnp.where(y2 < 0.0, off, y2)
+            dF = outs[6].sum(axis=(0, 1)).reshape(-1)[:3 * NR].reshape(NR, 3)
+            return x2, y2, vx2, vy2, ax2, ay2, dF[:, 0], dF[:, 1], dF[:, 2]
+
     def overlap_info(px, py, R):
         """Shared inside/normal/penetration computation. Returns dict of
         [NR,NL] arrays (rigid axis leading: lanes run along particles).
@@ -608,6 +695,13 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         pdy = py[None, :] - cyb
         dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
         is_c = R["is_circle"][:, None]
+        # static shape-population specialization: a constant predicate lets
+        # XLA DCE the entire dead branch (point-in-polygon/closest-point for
+        # all-circle scenes; the circle math for all-polygon scenes)
+        if not spec.any_rigid_circle:
+            is_c = jnp.zeros_like(is_c)
+        elif not spec.any_rigid_polygon:
+            is_c = jnp.ones_like(is_c)
         inside = in_aabb & jnp.where(is_c, inside_c, inside_p)
         return dict(
             inside=inside, is_c=is_c, rx=rx, ry=ry,
@@ -909,6 +1003,12 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             vy1 = Dn["hy"] + half_dt * ay1
             if _ablate == "nocouple" or NR == 0:
                 return dict(cr, D=dict(Dn, vx=vx1, vy=vy1, ax=ax1, ay=ay1))
+            if use_cpl_kernel:
+                x2, y2, vx2, vy2, axf, ayf, dFx, dFy, dTq = _couple_pl(
+                    _pl_couple, Dn, vx1, vy1, ax1, ay1, rig_tab, R)
+                D2 = dict(Dn, x=x2, y=y2, vx=vx2, vy=vy2, ax=axf, ay=ayf)
+                return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
+                            Tq=cr["Tq"] + dTq)
             # coupling on the flattened dense slots (occ-masked)
             shp = Dn["x"].shape
             fl = lambda v: v.reshape(-1)
@@ -927,6 +1027,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
                         Tq=cr["Tq"] + dTq)
 
+        rig_tab = _rigid_table(R) if use_cpl_kernel else None
         cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
         D = cr["D"]
 
@@ -984,6 +1085,10 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         _pl_force_b = make_force(band, _NT, K, h, SPIKY, VISC, fc.viscosity,
                                  nm.min_distance_threshold,
                                  nm.min_density_threshold, interpret=_interp)
+        if use_cpl_kernel:
+            from ...ops.pallas_sph import make_coupling as _mk_cpl
+            _pl_couple_b = _mk_cpl(band, _NT, K, NR, _VR, _CN,
+                                   interpret=_interp)
         PSIZE_L = (band + 2) * K * nxp
     else:
         PSIZE_L = (band + 2) * nxp * K
@@ -1052,6 +1157,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                       Fx=vary(jnp.zeros((max(NR, 1),), x.dtype)),
                       Fy=vary(jnp.zeros((max(NR, 1),), x.dtype)),
                       Tq=vary(jnp.zeros((max(NR, 1),), x.dtype)))
+        rig_tab = _rigid_table(R) if use_cpl_kernel else None
 
         def substep(_, cr):
             D = cr["D"]
@@ -1097,6 +1203,15 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             vy1 = Dn["hy"] + half_dt * ay1
             if NR == 0:
                 return dict(cr, D=dict(Dn, vx=vx1, vy=vy1, ax=ax1, ay=ay1))
+            if use_cpl_kernel:
+                # the kernel only treats interior rows as centers, so halo
+                # copies are never double-coupled
+                x2, y2, vx2, vy2, axf, ayf, dFx, dFy, dTq = _couple_pl(
+                    _pl_couple_b, Dn, vx1, vy1, ax1, ay1, rig_tab, R,
+                    row_off=row0)
+                D2 = dict(Dn, x=x2, y=y2, vx=vx2, vy=vy2, ax=axf, ay=ayf)
+                return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
+                            Tq=cr["Tq"] + dTq)
             # coupling over my interior slots only (halo copies are the
             # neighbor's particles — it applies the coupling to them)
             occ_int = Dn["occ"].at[0].set(0.0).at[-1].set(0.0)

@@ -218,6 +218,24 @@ def test_resident_pallas_interpret_matches_xla():
                        np.asarray(s_p.bodies.density)[liq], rtol=1e-5)
 
 
+def test_pallas_coupling_kernel_matches_xla():
+    """The fused Pallas coupling kernel (ops/pallas_sph.py make_coupling,
+    interpret mode on CPU) against the XLA overlap/impulse/position solves:
+    same per-slot math and rigid accumulation order, so agreement is
+    reduction-order tight."""
+    sc = _blob_scene(n=50, vmax=0.4, walls=True, seed=5)
+    s_x = _run_fluid(sc, "on", ticks=2, pair_backend="xla")
+    s_p = _run_fluid(sc, "on", ticks=2, pair_backend="pallas")
+    liq = sc.spec.liquid_slice
+    assert np.allclose(np.asarray(s_x.bodies.pos)[liq],
+                       np.asarray(s_p.bodies.pos)[liq], atol=1e-5)
+    assert np.allclose(np.asarray(s_x.bodies.vel)[liq],
+                       np.asarray(s_p.bodies.vel)[liq], atol=1e-4)
+    # rigid force/torque writeback path (wall row)
+    assert np.allclose(np.asarray(s_x.bodies.vel)[:1],
+                       np.asarray(s_p.bodies.vel)[:1], atol=1e-5)
+
+
 def test_grid_neighbor_count_cap_is_deterministic():
     # 200 particles in one cell: run twice, identical results (the reference's
     # atomic 64-cap is racy; ours must be deterministic)
