@@ -13,7 +13,8 @@ Prints ONE JSON line:
   on the same particle set; falls back to the vectorized NumPy oracle when no
   compiler is available.
 
-Env knobs: BENCH_N (particles), BENCH_TICKS, BENCH_ORACLE_TICKS.
+Env knobs: BENCH_N (particles), BENCH_TICKS, BENCH_ORACLE_TICKS,
+BENCH_BLOCK (ticks per device dispatch).
 """
 from __future__ import annotations
 
@@ -25,6 +26,10 @@ import time
 N_PARTICLES = int(os.environ.get("BENCH_N", "20000"))
 TICKS = int(os.environ.get("BENCH_TICKS", "60"))
 ORACLE_TICKS = int(os.environ.get("BENCH_ORACLE_TICKS", "3"))
+# ticks per dispatch: state stays on device across the whole run either
+# way; blocking amortizes the per-dispatch host/tunnel overhead (~ms) that
+# a real headless run (lpe_tpu.systems.build_run_fn) also avoids
+BLOCK = max(1, int(os.environ.get("BENCH_BLOCK", "10")))
 
 
 def main():
@@ -32,21 +37,23 @@ def main():
     import numpy as np
 
     from lpe_tpu.scenarios.bench_scenes import build_dam_break
-    from lpe_tpu.systems import build_tick_fn
+    from lpe_tpu.systems import build_run_fn
 
     scene = build_dam_break(N_PARTICLES, seed=0)
-    tick = build_tick_fn(scene.spec, scene.cfg, donate=False)
-    state = tick(scene.state)                       # compile + 1 tick
+    run = build_run_fn(scene.spec, scene.cfg, ticks=BLOCK, donate=False)
+    state = run(scene.state)                        # compile + BLOCK ticks
     _ = np.asarray(state.bodies.pos)                # hard sync (block_until_
     # best of two windows: the tunneled device occasionally stalls for
     # tens of seconds, which would poison a single measurement
+    blocks = max(1, TICKS // BLOCK)
     dev_tps = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
-        for _ in range(TICKS):
-            state = tick(state)
+        for _ in range(blocks):
+            state = run(state)
         _ = np.asarray(state.bodies.pos)
-        dev_tps = max(dev_tps, TICKS / (time.perf_counter() - t0))
+        dev_tps = max(dev_tps,
+                      blocks * BLOCK / (time.perf_counter() - t0))
     assert bool(jax.numpy.isfinite(state.bodies.pos).all()), "non-finite state"
 
     # CPU reference on the identical workload
@@ -87,6 +94,7 @@ def main():
         "cpu_ticks_per_sec": round(cpu_tps, 3),
         "n_particles": N_PARTICLES,
         "substeps_per_tick": fc.num_sub_steps,
+        "ticks_per_dispatch": BLOCK,
     }
     print(json.dumps(out))
     return 0

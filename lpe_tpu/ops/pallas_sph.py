@@ -132,45 +132,53 @@ def _force_kernel(h, h2, spiky, visc_lap, viscosity, min_d2, min_rho,
         outy[0] = jnp.zeros((K, TX), outy.dtype)
 
     scratch = refs[11]                         # VMEM [8, K, TX+2]
+    # neighbor slots per iteration: Mosaic requires dynamic sublane slices
+    # to start at provable multiples of 8, so chunks are 8-wide (single-slot
+    # slices are the unaligned exception)
+    CH = 8 if K % 8 == 0 else 1
 
     @pl.when(rm_ref[j + 1, t] > 0)
     def _():
         FX, FY, FVX, FVY, FM, FR, FP, FO = range(8)
         ctr = rows[1][1]
-        cx = ctr[FX, 0]                        # [K, TX]
-        cy = ctr[FY, 0]
-        cvx = ctr[FVX, 0]
-        cvy = ctr[FVY, 0]
-        crho = ctr[FR, 0]
-        cp = ctr[FP, 0]
-        cocc = ctr[FO, 0]
+        cx = ctr[FX, 0][:, None, :]            # [K, 1, TX]
+        cy = ctr[FY, 0][:, None, :]
+        cvx = ctr[FVX, 0][:, None, :]
+        cvy = ctr[FVY, 0][:, None, :]
+        crho = ctr[FR, 0][:, None, :]
+        cp = ctr[FP, 0][:, None, :]
+        cocc = ctr[FO, 0][:, None, :]
         cterm = cp / jnp.maximum(crho * crho, 1e-30)
-        k1 = jax.lax.broadcasted_iota(jnp.int32, (K, TX), 0)
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 0)
+        kc = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 1)
         fx_a = jnp.zeros((K, TX), outx.dtype)
         fy_a = jnp.zeros((K, TX), outy.dtype)
-        # occupancy-bounded neighbor-slot fori (see _density_kernel)
+        # occupancy-bounded neighbor-slot fori (see _density_kernel),
+        # CH slots per iteration: amortizes loop overhead while keeping
+        # pair work proportional to real occupancy (occ masks cover the
+        # chunk's tail slots)
         for r, (bl, bm, br) in enumerate(rows):
             scratch[...] = jnp.stack(
                 [_ext(bl, bm, br, f, K, TX) for f in range(7)]
                 + [_ext(bl, bm, br, FO, K, TX, (t, NT))])   # [8, K, TX+2]
             bound = _src_bound(rm_ref, j + r, t, NT)
 
-            def body(k2, acc, r=r):
+            def body(i, acc, r=r):
                 fxa, fya = acc
-                sl = scratch[:, pl.ds(k2, 1), :]            # [8, 1, TX+2]
+                sl = scratch[:, pl.ds(i * CH, CH), :]       # [8, CH, TX+2]
                 for dx in range(3):
-                    c = lambda f: sl[f, :, dx:dx + TX]      # [1, TX]
+                    c = lambda f: sl[f, :, dx:dx + TX][None]   # [1, CH, TX]
                     nbx, nby = c(FX), c(FY)
                     nbvx, nbvy = c(FVX), c(FVY)
                     nbm, nbrho, nbp = c(FM), c(FR), c(FP)
                     nbo = c(FO)
-                    ddx = cx - nbx
+                    ddx = cx - nbx                          # [K, CH, TX]
                     ddy = cy - nby
                     r2 = ddx * ddx + ddy * ddy
                     ok = (cocc * nbo > 0) & (r2 >= min_d2) & (r2 < h2) \
                         & (nbrho >= min_rho) & (crho >= min_rho)
                     if r == 1 and dx == 1:
-                        ok = ok & (k1 != k2)
+                        ok = ok & (k1 != i * CH + kc)
                     rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
                     term = cterm + nbp / jnp.maximum(nbrho * nbrho, 1e-30)
                     w_spiky = spiky * (h - rr) ** 2
@@ -181,11 +189,12 @@ def _force_kernel(h, h2, spiky, visc_lap, viscosity, min_d2, min_rho,
                         visc_lap * (h - rr) / jnp.maximum(nbrho, 1e-30))
                     fx = fx - f_visc * (cvx - nbvx)
                     fy = fy - f_visc * (cvy - nbvy)
-                    fxa = fxa + jnp.where(ok, fx, 0.0)
-                    fya = fya + jnp.where(ok, fy, 0.0)
+                    fxa = fxa + jnp.where(ok, fx, 0.0).sum(1)
+                    fya = fya + jnp.where(ok, fy, 0.0).sum(1)
                 return fxa, fya
 
-            fx_a, fy_a = jax.lax.fori_loop(0, bound, body, (fx_a, fy_a))
+            nit = (bound + CH - 1) // CH
+            fx_a, fy_a = jax.lax.fori_loop(0, nit, body, (fx_a, fy_a))
         outx[0] = fx_a
         outy[0] = fy_a
 
@@ -206,16 +215,19 @@ def _grid_spec(ny: int, NT: int, F: int, K: int, TX: int, n_out: int,
     )
 
 
-def _coupling_kernel(NR, V, W, cn, K, TX, cpl_ref, rig_ref, d_ref,
+def _coupling_kernel(RC, V, W, cn, K, TX, cpl_ref, cand_ref, rig_ref, d_ref,
                      ox, oy, ovx, ovy, oax, oay, orf):
     """Fused rigid-fluid coupling over one (row, tile) block.
 
     Ports the XLA overlap/impulse/position solves (systems/fluid/sph.py,
     reference: fluid_kernels.metal:533-924) as one VPU pass: per-slot fields
     are read once and written once instead of materializing ~25 [NR, slots]
-    intermediates in HBM. The rigid loop is a static unroll (NR is a scene
-    constant); per-rigid force/torque partials go to a per-program output
-    row that the caller sums. ``cn`` is the dict of solver constants.
+    intermediates in HBM. The rigid loop runs over the row's *candidate*
+    list (cand_ref [rows, RC] int32: ids of rigids whose AABB spans the
+    row's y-range, sentinel = the rig table's zero row) — a static RC-unroll
+    independent of the scene's rigid count. Per-candidate force/torque/id
+    partials go to a per-program SMEM row that the caller scatter-adds by
+    id. ``cn`` is the dict of solver constants.
     """
     j = pl.program_id(0)
     t = pl.program_id(1)
@@ -230,7 +242,8 @@ def _coupling_kernel(NR, V, W, cn, K, TX, cpl_ref, rig_ref, d_ref,
         ovy[0] = d[FVY]
         oax[0] = d[FAX]
         oay[0] = d[FAY]
-        orf[0, 0] = jnp.zeros((8, 128), orf.dtype)
+        for i in range(4 * RC):        # SMEM scalars: one store each
+            orf[0, t, i] = jnp.float32(0.0)
 
     @pl.when(cpl_ref[j + 1, t] > 0)
     def _():
@@ -239,16 +252,17 @@ def _coupling_kernel(NR, V, W, cn, K, TX, cpl_ref, rig_ref, d_ref,
         rho, p, m = d[FR], d[FP], d[FM]
         occ = d[FO]
         ax, ay = d[FAX], d[FAY]
-        rig = rig_ref[...]             # [NR, W] (static indexing below)
+        crow = cand_ref[pl.ds(j + 1, 1), :]                 # [1, RC] ids
 
         z = jnp.zeros((K, TX), px.dtype)
         fz = jnp.zeros((K, TX), jnp.bool_)
         acx, acy = z, z                 # position corrections (sum rigids)
         sfx, sfy = z, z                 # impulse force on fluid (sum rigids)
         had_pos, had_imp = fz, fz
-        rpart = []
-        for r in range(NR):
-            c = lambda i: rig[r, i]
+        for r in range(RC):
+            rd = crow[0, r]
+            rrow = rig_ref[pl.ds(rd, 1), :]                 # [1, W]
+            c = lambda i: rrow[0, i]
             rpx, rpy, rvxs, rvys, rom = c(0), c(1), c(2), c(3), c(4)
             rmass, rinert, rrad = c(5), c(6), c(7)
             ric, rvalid, rnv = c(8), c(9), c(10)
@@ -273,18 +287,18 @@ def _coupling_kernel(NR, V, W, cn, K, TX, cpl_ref, rig_ref, d_ref,
             cxb, cyb = z, z
             for v in range(V if cn["any_poly"] else 0):
                 vm = jnp.float32(v) < rnv
-                xi, yi = rig[r, 15 + 2 * v], rig[r, 16 + 2 * v]
+                xi, yi = c(15 + 2 * v), c(16 + 2 * v)
                 # prev vertex: v-1, wrapping v==0 -> nv-1 (scalar select
                 # over the static vert list keeps indexing static)
                 if v == 0:
                     xj, yj = xi, yi
                     for u in range(1, V):
                         sel = jnp.float32(u) == rnv - 1.0
-                        xj = jnp.where(sel, rig[r, 15 + 2 * u], xj)
-                        yj = jnp.where(sel, rig[r, 16 + 2 * u], yj)
+                        xj = jnp.where(sel, c(15 + 2 * u), xj)
+                        yj = jnp.where(sel, c(16 + 2 * u), yj)
                 else:
-                    xj = rig[r, 15 + 2 * (v - 1)]
-                    yj = rig[r, 16 + 2 * (v - 1)]
+                    xj = c(15 + 2 * (v - 1))
+                    yj = c(16 + 2 * (v - 1))
                 denom = yj - yi
                 tx_ = (xj - xi) * (py - yi) / jnp.where(
                     jnp.abs(denom) < 1e-30, 1e-30, denom) + xi
@@ -293,12 +307,12 @@ def _coupling_kernel(NR, V, W, cn, K, TX, cpl_ref, rig_ref, d_ref,
                 # closest point on edge v -> v+1 (wrap nv-1 -> 0)
                 if v + 1 < V:
                     wrap = jnp.float32(v) == rnv - 1.0
-                    x2s = jnp.where(wrap, rig[r, 15],
-                                    rig[r, 15 + 2 * (v + 1)])
-                    y2s = jnp.where(wrap, rig[r, 16],
-                                    rig[r, 16 + 2 * (v + 1)])
+                    x2s = jnp.where(wrap, c(15),
+                                    c(15 + 2 * (v + 1)))
+                    y2s = jnp.where(wrap, c(16),
+                                    c(16 + 2 * (v + 1)))
                 else:
-                    x2s, y2s = rig[r, 15], rig[r, 16]
+                    x2s, y2s = c(15), c(16)
                 ex = x2s - xi
                 ey = y2s - yi
                 el2 = ex * ex + ey * ey
@@ -400,7 +414,10 @@ def _coupling_kernel(NR, V, W, cn, K, TX, cpl_ref, rig_ref, d_ref,
             fx = jnp.where(act, fx, 0.0)
             fy = jnp.where(act, fy, 0.0)
             tq = jnp.where(act, tq, 0.0)
-            rpart.extend([fx.sum(), fy.sum(), tq.sum()])
+            orf[0, t, 4 * r + 0] = fx.sum()
+            orf[0, t, 4 * r + 1] = fy.sum()
+            orf[0, t, 4 * r + 2] = tq.sum()
+            orf[0, t, 4 * r + 3] = rd.astype(orf.dtype)
             sfx = sfx + fx
             sfy = sfy + fy
             had_imp = had_imp | act
@@ -437,37 +454,42 @@ def _coupling_kernel(NR, V, W, cn, K, TX, cpl_ref, rig_ref, d_ref,
         oy[0] = ny_
         ovx[0] = jnp.where(fix, vx1 - valong * cdx, vx1)
         ovy[0] = jnp.where(fix, vy1 - valong * cdy, vy1)
-        # per-rigid force/torque partials, padded into one (8, 128) tile
-        # (TPU block shapes need the trailing dims tile-aligned)
-        part = jnp.pad(jnp.stack(rpart), (0, 8 * 128 - 3 * NR))
-        orf[0, 0] = part.reshape(8, 128)
 
 
 def make_coupling(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
-                  TX: int = TILE_X, dtype=jnp.float32,
+                  RC: int = 16, TX: int = TILE_X, dtype=jnp.float32,
                   interpret: bool = False):
-    """Returns ``couple(cpl2, rig, D10) -> (x, y, vx, vy, ax, ay, rpart)``.
+    """Returns ``couple(cpl2, cand, rig, D10) -> (x, y, vx, vy, ax, ay,
+    partials)``.
 
     D10 is the field stack [10(x,y,vx1,vy1,rho,p,m,occ,ax,ay), ny+2, K,
     NT*TX]; cpl2 [ny+2, NT] int32 marks (row, tile)s with occupancy AND a
-    rigid AABB overlap; rig is the [NR, 15+2V] rigid proxy table. Outputs
-    are interior rows [ny, K, NT*TX] plus per-(row, tile) rigid partials
-    in one (8, 128) tile each, [ny, NT, 8, 128] (sum the first two axes and
-    take the leading 3*NR values -> [NR, 3]). 3*NR must fit the tile."""
-    if 3 * NR > 8 * 128:
-        raise ValueError(f"coupling kernel supports NR <= 341, got {NR}")
+    rigid AABB overlap; cand [ny+2, RC] int32 holds per-row candidate rigid
+    ids (sentinel NR = the rig table's zero row); rig is the [NR+1, 15+2V]
+    rigid proxy table (last row zeros). Outputs are interior rows
+    [ny, K, NT*TX] plus per-(row, tile) (fx, fy, tq, id) candidate partials
+    [ny, NT, 4*RC] in SMEM — scatter-add fx/fy/tq by id to get per-rigid
+    sums. RC bounds per-row rigid density: rows crossing more than RC rigid
+    AABBs deterministically drop the highest-id surplus."""
     W = 15 + 2 * V
-    kern = functools.partial(_coupling_kernel, NR, V, W, consts, K, TX)
+    RC = min(RC, max(NR, 1))
+    kern = functools.partial(_coupling_kernel, RC, V, W, consts, K, TX)
     out_spec = pl.BlockSpec((1, K, TX), lambda j, t, cpl: (j, 0, t),
                             memory_space=pltpu.VMEM)
-    rig_out_spec = pl.BlockSpec((1, 1, 8, 128),
-                                lambda j, t, cpl: (j, t, 0, 0),
-                                memory_space=pltpu.VMEM)
+    # one SMEM block spans all NT tiles of a row (the block index ignores t,
+    # so it stays resident across the row's programs — grid order is
+    # t-fastest — and each program writes only its own t slice); blocking
+    # per-(j, t) would violate the last-two-dims tiling rule
+    rig_out_spec = pl.BlockSpec((1, NT, 4 * RC),
+                                lambda j, t, cpl: (j, 0, 0),
+                                memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ny, NT),
         in_specs=[
-            pl.BlockSpec((NR, W), lambda j, t, cpl: (0, 0),
+            pl.BlockSpec((ny + 2, RC), lambda j, t, cpl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NR + 1, W), lambda j, t, cpl: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((10, 1, K, TX), lambda j, t, cpl: (0, j + 1, 0, t),
                          memory_space=pltpu.VMEM),
@@ -478,13 +500,13 @@ def make_coupling(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[shp] * 6 + [jax.ShapeDtypeStruct((ny, NT, 8, 128),
+        out_shape=[shp] * 6 + [jax.ShapeDtypeStruct((ny, NT, 4 * RC),
                                                     dtype)],
         interpret=interpret,
     )
 
-    def couple(cpl2, rig, D10):
-        return call(cpl2, rig, D10)
+    def couple(cpl2, cand, rig, D10):
+        return call(cpl2, cand, rig, D10)
 
     return couple
 

@@ -62,3 +62,24 @@ def build_tick_fn(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
     if jit:
         tick = jax.jit(tick, donate_argnums=(0,) if donate else ())
     return tick
+
+
+def build_run_fn(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
+                 ticks: int, jit: bool = True, donate: bool = True,
+                 fluid_mesh=None, fluid_axis: str = "data"):
+    """One dispatch advancing ``ticks`` ticks (``lax.scan`` over the tick).
+
+    Headless/batch runs should prefer this over calling the single tick in a
+    Python loop: state stays on device between ticks and the per-dispatch
+    host overhead (milliseconds through a tunneled device) is amortized
+    across the block."""
+    tick = build_tick_fn(spec, cfg, jit=False, fluid_mesh=fluid_mesh,
+                         fluid_axis=fluid_axis)
+
+    def run(state: SimState) -> SimState:
+        return jax.lax.scan(lambda s, _: (tick(s), None), state,
+                            None, length=ticks)[0]
+
+    if jit:
+        run = jax.jit(run, donate_argnums=(0,) if donate else ())
+    return run

@@ -587,7 +587,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
     # per-slot field once, vs the XLA path's ~25 materialized [NR, slots]
     # intermediates. Tiles with no occupancy or no rigid AABB overlap are
     # skipped via a scalar-prefetched mask.
-    use_cpl_kernel = use_pallas and 0 < NR <= 341   # partial-tile capacity
+    # the kernel loops over per-row candidate rigids (RC slots), so any
+    # rigid count works; work scales with local rigid density, not NR
+    use_cpl_kernel = use_pallas and NR > 0
     if use_cpl_kernel:
         from ...ops.pallas_sph import make_coupling
         _VR = spec.max_rigid_verts
@@ -620,6 +622,8 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         _pl_couple = make_coupling(ny, _NT, K, NR, _VR, _CN,
                                    interpret=_interp)
 
+        _RC = min(16, NR)
+
         def _rigid_table(R):
             cols = jnp.stack([
                 R["pos"][:, 0], R["pos"][:, 1],
@@ -630,7 +634,23 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                 R["nverts"].astype(jnp.float32),
                 R["minx"], R["miny"], R["maxx"], R["maxy"]], axis=1)
             wxy = jnp.stack([R["wx"], R["wy"]], axis=-1).reshape(NR, 2 * _VR)
-            return jnp.concatenate([cols, wxy], axis=1)     # [NR, 15+2V]
+            tab = jnp.concatenate([cols, wxy], axis=1)      # [NR, 15+2V]
+            # sentinel row NR: all-zero (valid=0) — unfilled candidate
+            # slots point here and contribute nothing
+            return jnp.concatenate(
+                [tab, jnp.zeros((1, tab.shape[1]), tab.dtype)])
+
+        def _cand_rows(R, rows, row_off=0):
+            """Per padded row: ids of rigids whose AABB spans the row's
+            y-range (+1-cell slack), lowest-id first, sentinel-NR filled.
+            [rows, RC] int32. Once per tick (proxies are tick constants)."""
+            ry0 = (jnp.arange(rows) - 2 + row_off).astype(jnp.float32) * cell
+            ry1 = ry0 + 3.0 * cell
+            ov = (R["miny"][None, :] <= ry1[:, None]) & \
+                 (R["maxy"][None, :] >= ry0[:, None]) & R["valid"][None, :]
+            score = jnp.where(ov, NR - jnp.arange(NR)[None, :], 0)
+            vals, idx = jax.lax.top_k(score, _RC)
+            return jnp.where(vals > 0, idx, NR).astype(jnp.int32)
 
         def _cpl_mask(occ_pad, R, row_off=0):
             """[rows, NT] int32: tile has particles AND a rigid AABB within
@@ -650,8 +670,8 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                   & R["valid"][None, None, :]).any(-1)
             return ((rm > 0) & ov).astype(jnp.int32)
 
-        def _couple_pl(pl_couple, Dn, vx1, vy1, ax1, ay1, rig_tab, R,
-                       row_off=0):
+        def _couple_pl(pl_couple, Dn, vx1, vy1, ax1, ay1, rig_tab, cand_tab,
+                       R, row_off=0):
             """Run the fused kernel; returns (D2-updates..., dFx, dFy, dTq).
             The out-of-tank floor clamp is re-applied globally in XLA so
             skipped tiles match the XLA path exactly (it is idempotent on
@@ -661,13 +681,18 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                 _padx(Dn["rho"]), _padx(Dn["p"]), _padx(Dn["m"]),
                 _padx(Dn["occ"]), _padx(ax1), _padx(ay1)])
             cpl2 = _cpl_mask(Dn["occ"], R, row_off)
-            outs = pl_couple(cpl2, rig_tab, D10)
+            outs = pl_couple(cpl2, cand_tab, rig_tab, D10)
             prow = lambda v: jnp.pad(v[:, :, :nxp], ((1, 1), (0, 0), (0, 0)))
             x2, y2, vx2, vy2, ax2, ay2 = [prow(o) for o in outs[:6]]
             off = fc.grid.boundary_offset
             x2 = jnp.where(x2 < 0.0, off, x2)
             y2 = jnp.where(y2 < 0.0, off, y2)
-            dF = outs[6].sum(axis=(0, 1)).reshape(-1)[:3 * NR].reshape(NR, 3)
+            # per-candidate (fx, fy, tq, id) partials -> per-rigid sums
+            pr = outs[6].reshape(-1, 4)
+            ids = jnp.round(pr[:, 3]).astype(jnp.int32)
+            acc = jnp.zeros((NR + 1, 3), pr.dtype).at[ids].add(
+                pr[:, :3], mode="drop")
+            dF = acc[:NR]
             return x2, y2, vx2, vy2, ax2, ay2, dF[:, 0], dF[:, 1], dF[:, 2]
 
     def overlap_info(px, py, R):
@@ -1005,7 +1030,8 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                 return dict(cr, D=dict(Dn, vx=vx1, vy=vy1, ax=ax1, ay=ay1))
             if use_cpl_kernel:
                 x2, y2, vx2, vy2, axf, ayf, dFx, dFy, dTq = _couple_pl(
-                    _pl_couple, Dn, vx1, vy1, ax1, ay1, rig_tab, R)
+                    _pl_couple, Dn, vx1, vy1, ax1, ay1, rig_tab, cand_tab,
+                    R)
                 D2 = dict(Dn, x=x2, y=y2, vx=vx2, vy=vy2, ax=axf, ay=ayf)
                 return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
                             Tq=cr["Tq"] + dTq)
@@ -1027,7 +1053,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
                         Tq=cr["Tq"] + dTq)
 
-        rig_tab = _rigid_table(R) if use_cpl_kernel else None
+        if use_cpl_kernel:
+            rig_tab = _rigid_table(R)
+            cand_tab = _cand_rows(R, ny + 2)
         cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
         D = cr["D"]
 
@@ -1157,7 +1185,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                       Fx=vary(jnp.zeros((max(NR, 1),), x.dtype)),
                       Fy=vary(jnp.zeros((max(NR, 1),), x.dtype)),
                       Tq=vary(jnp.zeros((max(NR, 1),), x.dtype)))
-        rig_tab = _rigid_table(R) if use_cpl_kernel else None
+        if use_cpl_kernel:
+            rig_tab = _rigid_table(R)
+            cand_tab = _cand_rows(R, band + 2, row_off=row0)
 
         def substep(_, cr):
             D = cr["D"]
@@ -1207,8 +1237,8 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                 # the kernel only treats interior rows as centers, so halo
                 # copies are never double-coupled
                 x2, y2, vx2, vy2, axf, ayf, dFx, dFy, dTq = _couple_pl(
-                    _pl_couple_b, Dn, vx1, vy1, ax1, ay1, rig_tab, R,
-                    row_off=row0)
+                    _pl_couple_b, Dn, vx1, vy1, ax1, ay1, rig_tab, cand_tab,
+                    R, row_off=row0)
                 D2 = dict(Dn, x=x2, y=y2, vx=vx2, vy=vy2, ax=axf, ay=ayf)
                 return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
                             Tq=cr["Tq"] + dTq)
