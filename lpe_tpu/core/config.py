@@ -279,6 +279,11 @@ class FluidConfig:
     # drop contract as the scatter path; pair sums reassociate, so results
     # match the scatter path to float tolerance, not bitwise.
     residency: str = "auto"
+    # Per-row candidate capacity of the fused coupling kernel (TPU): each
+    # grid row couples against at most this many rigids (those whose AABB
+    # spans the row; lowest-id surplus kept). Size to the scene's max rigid
+    # density per horizontal band.
+    coupling_candidates_per_row: int = 16
     # Multi-chip decomposition (only read by parallel/sharded.py when a mesh
     # with >1 devices is used): "halo" = spatial row-band sharding of the
     # dense grid with one-row ppermute halo exchanges per sub-step over ICI

@@ -619,10 +619,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             any_circle=spec.any_rigid_circle,
             any_poly=spec.any_rigid_polygon,
         )
+        _RC = min(fc.coupling_candidates_per_row, NR)
         _pl_couple = make_coupling(ny, _NT, K, NR, _VR, _CN,
-                                   interpret=_interp)
-
-        _RC = min(16, NR)
+                                   RC=_RC, interpret=_interp)
 
         def _rigid_table(R):
             cols = jnp.stack([
@@ -1116,7 +1115,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         if use_cpl_kernel:
             from ...ops.pallas_sph import make_coupling as _mk_cpl
             _pl_couple_b = _mk_cpl(band, _NT, K, NR, _VR, _CN,
-                                   interpret=_interp)
+                                   RC=_RC, interpret=_interp)
         PSIZE_L = (band + 2) * K * nxp
     else:
         PSIZE_L = (band + 2) * nxp * K
