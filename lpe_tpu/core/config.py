@@ -266,9 +266,17 @@ class FluidConfig:
     damping_factor: float = 1.0
     num_sub_steps: int = 10
     threads_per_group: int = 256     # parity field; XLA/Pallas choose tiling
-    # Pair-pass backend: "auto" = Pallas row-band kernels on TPU (skip empty
-    # rows + occupancy-bounded loops), plain XLA elsewhere; "xla"/"pallas"
-    # force one. Results agree up to float reassociation of neighbor sums.
+    # Pair-pass backend: "auto" = the rolling-window Pallas pair sweep on
+    # TPU (density+force in one pass, each grid row DMA'd once per
+    # sub-step, rho kept on-chip — ops/pallas_sph.make_pair_sweep), plain
+    # XLA elsewhere. "sweep" / "pallas" (split density/force row-band
+    # kernels) / "xla" force a backend; "fused" opts into the experimental
+    # whole-substep kernel (drift+migrate+density+force+kick in one pass —
+    # make_fused_substep, resident mode only; measured slower than sweep +
+    # the XLA migrate on v5e, kept for future Mosaic work). Results agree
+    # up to float reassociation of neighbor sums. The multi-device halo
+    # path always uses the split kernels (force at band edges needs the
+    # neighbor band's rho, which is exchanged between the kernels).
     pair_backend: str = "auto"
     # Grid residency across sub-steps: "auto" = on for TPU, off elsewhere;
     # "on"/"off" force it. When on, particle state lives in the dense

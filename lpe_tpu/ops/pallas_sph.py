@@ -511,6 +511,629 @@ def make_coupling(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
     return couple
 
 
+def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
+                  stiffness, rest_density, K, TX, NT, NTX, ny,
+                  rm_ref, d_ref, orho, outx, outy, slabs, rho_ring, sems):
+    """Rolling-window fused density+force sweep over grid rows.
+
+    One program per interior row j (padded row p = j+1). Row slabs
+    [6(x,y,vx,vy,m,occ), K, NTX] are DMA'd from HBM into a 5-slot VMEM ring
+    — each row is fetched ONCE per pass (the 9-block kernels fetch every row
+    3x as the top/center/bottom neighbor of 3 programs, ~11 small DMAs per
+    program; the measured force-pass cost is DMA issue latency, not flops).
+    Density for padded row p+1 is computed on the fly into a 3-slot rho
+    ring, so the force pass at row p reads fresh rho with no intermediate
+    HBM round-trip; pressure is EOS(rho) inline. Scratch persists across
+    sequential grid steps (TPU grids are sequential on a core).
+
+    Math is identical to _density_kernel/_force_kernel (reference:
+    fluid_kernels.metal:246-403) up to float reassociation.
+    """
+    j = pl.program_id(0)
+    p = j + 1
+
+    def dma(q):
+        return pltpu.make_async_copy(d_ref.at[q], slabs.at[q % 5],
+                                     sems.at[q % 5])
+
+    @pl.when(j == 0)
+    def _():                            # warmup: rows 0..3 in flight
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        @pl.when(ny + 2 > 3)
+        def _():
+            dma(3).start()
+        dma(0).wait()
+        dma(1).wait()
+        dma(2).wait()                   # compute_rho(1) reads slab 2
+        rho_ring[0] = jnp.zeros((K, NTX), orho.dtype)   # apron row rho
+
+    @pl.when((j + 3 < ny + 2) | (j == 0))
+    def _():
+        dma(p + 2).wait()               # at j==0 this is row 3 (warmup-started)
+
+    @pl.when(j + 3 < ny + 1)            # j's start pairs with j+1's wait
+    def _():
+        dma(p + 3).start()
+
+    FX, FY, FVX, FVY, FM, FO = range(6)
+    kk2 = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+
+    def ext_win(vals, t):
+        """[K, TX+2] halo-extended columns of tile t from a [K, NTX] value.
+        The grid's outer columns are aprons (occ = 0), so the zero pad at
+        the array edges is exact."""
+        z1 = jnp.zeros((vals.shape[0], 1), vals.dtype)
+        lo = t * TX
+        left = z1 if t == 0 else vals[:, lo - 1:lo]
+        right = z1 if (t + 1) * TX + 1 > NTX else \
+            vals[:, lo + TX:lo + TX + 1]
+        return jnp.concatenate([left, vals[:, lo:lo + TX], right], axis=-1)
+
+    def compute_rho(q):
+        """Poly6 density of padded row q (tiles with rm[q, t] > 0) from
+        slabs q-1..q+1; writes the rho ring slot q % 3. Full [K, K, TX]
+        broadcast (density math is too cheap to amortize a bounded fori —
+        measured on hardware)."""
+        sq = slabs[q % 5]
+        for t in range(NT):
+            @pl.when(rm_ref[q, t] == 0)
+            def _(t=t):
+                rho_ring[q % 3, :, t * TX:(t + 1) * TX] = \
+                    jnp.zeros((K, TX), orho.dtype)
+
+            @pl.when(rm_ref[q, t] > 0)
+            def _(t=t, sq=sq):
+                cx = sq[FX, :, t * TX:(t + 1) * TX][:, None, :]
+                cy = sq[FY, :, t * TX:(t + 1) * TX][:, None, :]
+                acc = jnp.zeros((K, TX), orho.dtype)
+                for dr in (-1, 0, 1):
+                    src = slabs[(q + dr) % 5]
+                    exx = ext_win(src[FX], t)
+                    exy = ext_win(src[FY], t)
+                    exm = ext_win(src[FM], t)
+                    exo = ext_win(src[FO], t)
+                    live = kk2 < _src_bound(rm_ref, q + dr, t, NT)
+                    for dx in range(3):
+                        nbx = exx[:, dx:dx + TX][None]
+                        nby = exy[:, dx:dx + TX][None]
+                        nbm = exm[:, dx:dx + TX][None]
+                        nbo = exo[:, dx:dx + TX][None]
+                        ddx = cx - nbx
+                        ddy = cy - nby
+                        r2 = ddx * ddx + ddy * ddy
+                        w = jnp.where(live & (nbo > 0) & (r2 < h2),
+                                      poly6 * (h2 - r2) ** 3, 0.0)
+                        acc = acc + (nbm * w).sum(1)
+                rho_ring[q % 3, :, t * TX:(t + 1) * TX] = acc
+
+    @pl.when(j == 0)
+    def _():
+        compute_rho(1)
+
+    @pl.when(p + 1 < ny + 1)
+    def _():
+        compute_rho(p + 1)
+
+    @pl.when(p + 1 == ny + 1)
+    def _():                            # bottom apron: rho = 0
+        rho_ring[(p + 1) % 3] = jnp.zeros((K, NTX), orho.dtype)
+
+    # ---- force for padded row p (+ rho write-out) ----
+    orho[0] = rho_ring[p % 3]
+    CH = 8 if K % 8 == 0 else 1
+    ctr = slabs[p % 5]
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 0)
+    kc = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 1)
+
+    def eos(rho):
+        return jnp.maximum(stiffness * (rho - rest_density), 0.0)
+
+    for t in range(NT):
+        @pl.when(rm_ref[p, t] == 0)
+        def _(t=t):
+            outx[0, :, t * TX:(t + 1) * TX] = jnp.zeros((K, TX), outx.dtype)
+            outy[0, :, t * TX:(t + 1) * TX] = jnp.zeros((K, TX), outy.dtype)
+
+        @pl.when(rm_ref[p, t] > 0)
+        def _(t=t):
+            cx = ctr[FX, :, t * TX:(t + 1) * TX][:, None, :]
+            cy = ctr[FY, :, t * TX:(t + 1) * TX][:, None, :]
+            cvx = ctr[FVX, :, t * TX:(t + 1) * TX][:, None, :]
+            cvy = ctr[FVY, :, t * TX:(t + 1) * TX][:, None, :]
+            cocc = ctr[FO, :, t * TX:(t + 1) * TX][:, None, :]
+            crho = rho_ring[p % 3, :, t * TX:(t + 1) * TX][:, None, :]
+            cp_ = eos(crho)
+            cterm = cp_ / jnp.maximum(crho * crho, 1e-30)
+            fx_a = jnp.zeros((K, TX), outx.dtype)
+            fy_a = jnp.zeros((K, TX), outy.dtype)
+            for dr in (-1, 0, 1):
+                bound = _src_bound(rm_ref, p + dr, t, NT)
+
+                def body(i, acc, dr=dr, t=t):
+                    fxa, fya = acc
+                    ch = slabs[(p + dr) % 5, :,
+                               pl.ds(i * CH, CH), :]        # [6, CH, NTX]
+                    rch = rho_ring[(p + dr) % 3, pl.ds(i * CH, CH), :]
+                    for dx in range(3):
+                        w_ = lambda v: ext_win(v, t)[:, dx:dx + TX][None]
+                        nbx, nby = w_(ch[FX]), w_(ch[FY])
+                        nbvx, nbvy = w_(ch[FVX]), w_(ch[FVY])
+                        nbm, nbo = w_(ch[FM]), w_(ch[FO])
+                        nbrho = w_(rch)
+                        nbp = eos(nbrho)
+                        ddx = cx - nbx
+                        ddy = cy - nby
+                        r2 = ddx * ddx + ddy * ddy
+                        ok = (cocc * nbo > 0) & (r2 >= min_d2) & (r2 < h2) \
+                            & (nbrho >= min_rho) & (crho >= min_rho)
+                        if dr == 0 and dx == 1:
+                            ok = ok & (k1 != i * CH + kc)
+                        rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
+                        term = cterm + nbp / jnp.maximum(nbrho * nbrho,
+                                                         1e-30)
+                        w_spiky = spiky * (h - rr) ** 2
+                        f_press = -nbm * term * w_spiky
+                        fx = f_press * ddx / rr
+                        fy = f_press * ddy / rr
+                        f_visc = viscosity * nbm * (
+                            visc_lap * (h - rr)
+                            / jnp.maximum(nbrho, 1e-30))
+                        fx = fx - f_visc * (cvx - nbvx)
+                        fy = fy - f_visc * (cvy - nbvy)
+                        fxa = fxa + jnp.where(ok, fx, 0.0).sum(1)
+                        fya = fya + jnp.where(ok, fy, 0.0).sum(1)
+                    return fxa, fya
+
+                nit = (bound + CH - 1) // CH
+                fx_a, fy_a = jax.lax.fori_loop(0, nit, body, (fx_a, fy_a))
+            outx[0, :, t * TX:(t + 1) * TX] = fx_a
+            outy[0, :, t * TX:(t + 1) * TX] = fy_a
+
+
+def make_pair_sweep(ny: int, NT: int, K: int, h: float, poly6: float,
+                    spiky: float, visc_lap: float, viscosity: float,
+                    min_d2: float, min_rho: float, stiffness: float,
+                    rest_density: float, TX: int = TILE_X,
+                    dtype=jnp.float32, interpret: bool = False):
+    """Returns sweep(rm2, D6) -> (rho, fx, fy) rows, each [ny, K, NT*TX].
+
+    D6 is the ROW-MAJOR field stack [ny+2, 6(x,y,vx,vy,m,occ), K, NT*TX]
+    (one contiguous slab per row — a single DMA descriptor); rm2 is the
+    per-(padded-row, tile) max cell occupancy [ny+2, NT] int32. Replaces the
+    make_density + make_force pair with one pass that fetches each row once
+    and keeps rho on-chip; pressure is EOS(rho) inline."""
+    if ny < 2:
+        raise ValueError("pair sweep needs ny >= 2")
+    NTX = NT * TX
+    kern = functools.partial(
+        _sweep_kernel, h, h * h, poly6, spiky, visc_lap, viscosity,
+        min_d2, min_rho, stiffness, rest_density, K, TX, NT, NTX, ny)
+    out_spec = pl.BlockSpec((1, K, NTX), lambda j, rm: (j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ny,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[out_spec] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((5, 6, K, NTX), dtype),      # row-slab ring
+            pltpu.VMEM((3, K, NTX), dtype),          # rho ring
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    shp = jax.ShapeDtypeStruct((ny, K, NTX), dtype)
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[shp] * 3,
+        interpret=interpret,
+    )
+
+    def sweep(rm2, D6):
+        return call(rm2, D6)
+
+    return sweep
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-substep kernel: drift + cell migration + density + force + kick
+# ---------------------------------------------------------------------------
+# Plane order of the 9-plane substep stack (kernel input AND output, so the
+# output feeds straight back as the next sub-step's input):
+#   0 x, 1 y, 2 vx, 3 vy, 4 ax, 5 ay, 6 m, 7 id, 8 occ
+# After the in-place drift, planes 4/5 hold the half-kicked velocities
+# (hx, hy); the output writes the NEW accelerations back into them.
+_FP_X, _FP_Y, _FP_VX, _FP_VY, _FP_HX, _FP_HY, _FP_M, _FP_ID, _FP_OCC = \
+    range(9)
+_ENC = 1 << 12        # packed migration target: padded_row * _ENC + padded_col
+
+
+def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
+                  stiffness, rest_density, half_dt, sub_dt, lim, cell, eps,
+                  gmin, nx, K, TX, NT, NTX, ny,
+                  rm_ref, d_ref, out1, out2,
+                  slabs, encs, migs, rho_ring, cnt_ref, sems):
+    """One whole SPH sub-step per grid pass (see make_fused_substep).
+
+    Rolling 4-stage pipeline over padded grid rows, one program per padded
+    row p (grid = ny+2): DMA+drift row p+3, migrate row p+2, density row
+    p+1, force+kick+output row p. Each stage's 3-row window sits entirely
+    in ring scratch, so the full sub-step costs ONE read and ONE write of
+    the row stack — the XLA substep's migrate pass, field-stack copy,
+    density/force pass and two elementwise passes collapse into a single
+    fetch. Physics matches systems/fluid/sph.py's resident substep
+    (kick-drift -> _migrate -> density -> force -> kick, reference:
+    fluid_kernels.metal:246-441) to float reassociation: the migration
+    candidate order (dy, dx, slot) and first-K overflow drop are identical.
+
+    Scratch: slabs = 5-slot drifted-row ring (planes as above, hx/hy in
+    4/5); encs = packed int32 migration targets per drifted row; migs =
+    5-slot migrated-row ring (plane 8 = fresh occupancy); rho_ring = 3-slot
+    density ring; cnt_ref[r%5, t] = exact post-migration max cell occupancy
+    (SMEM) — the density/force stages skip tiles and bound their candidate
+    loops with it, so pair work tracks TRUE occupancy, not the conservative
+    pre-migration bound."""
+    p = pl.program_id(0)
+    NY2 = ny + 2
+    f32 = out1.dtype
+
+    def dma(q):
+        return pltpu.make_async_copy(d_ref.at[q], slabs.at[q % 5],
+                                     sems.at[q % 5])
+
+    def drift(r):
+        """In-place kick-drift of raw row r + packed migration targets."""
+        s = r % 5
+        occ = slabs[s, _FP_OCC]
+        hx = slabs[s, _FP_VX] + half_dt * slabs[s, _FP_HX]
+        hy = slabs[s, _FP_VY] + half_dt * slabs[s, _FP_HY]
+        x1 = jnp.where(occ > 0,
+                       slabs[s, _FP_X] + jnp.clip(hx * sub_dt, -lim, lim),
+                       0.0)
+        y1 = jnp.where(occ > 0,
+                       slabs[s, _FP_Y] + jnp.clip(hy * sub_dt, -lim, lim),
+                       0.0)
+        slabs[s, _FP_X] = x1
+        slabs[s, _FP_Y] = y1
+        slabs[s, _FP_HX] = hx
+        slabs[s, _FP_HY] = hy
+        tgx = jnp.clip(jnp.floor((x1 + eps) / cell).astype(jnp.int32) - gmin,
+                       0, nx - 1) + 1
+        tgy = jnp.clip(jnp.floor((y1 + eps) / cell).astype(jnp.int32) - gmin,
+                       0, ny - 1) + 1
+        encs[s] = jnp.where(occ > 0, tgy * _ENC + tgx, -1)
+
+    def ext_win(vals, t):
+        """[*, TX+2] halo-extended columns of tile t of a [*, NTX] value.
+        Outer grid columns are aprons (occ 0 / enc -1 never matches), so the
+        zero pad at the array edges is exact."""
+        z1 = jnp.zeros((vals.shape[0], 1), vals.dtype)
+        lo = t * TX
+        left = z1 if t == 0 else vals[:, lo - 1:lo]
+        right = z1 if (t + 1) * TX + 1 > NTX else \
+            vals[:, lo + TX:lo + TX + 1]
+        return jnp.concatenate([left, vals[:, lo:lo + TX], right], axis=-1)
+
+    CH = 8 if K % 8 == 0 else 1
+    ksl = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)     # slot ids
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    trilK = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+             >= jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)) \
+        .astype(f32)
+
+    def zero_mig(q):
+        s = q % 5
+        migs[s] = jnp.zeros((9, K, NTX), f32)
+        for t in range(NT):
+            cnt_ref[s, t] = 0
+
+    def mig(q):
+        """Migrate padded row q from drifted rows q-1..q+1 (exact
+        (dy, dx, slot) candidate order of sph.py::_migrate)."""
+        s = q % 5
+        for t in range(NT):
+            pre = jnp.int32(0)
+            for dr in range(3):
+                pre = jnp.maximum(pre, _src_bound(rm_ref, q - 1 + dr, t, NT))
+
+            @pl.when(pre == 0)
+            def _(t=t, s=s):
+                for f in range(9):
+                    migs[s, f, :, t * TX:(t + 1) * TX] = \
+                        jnp.zeros((K, TX), f32)
+                cnt_ref[s, t] = 0
+
+            @pl.when(pre > 0)
+            def _(t=t, q=q, s=s):
+                colg = t * TX + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, TX), 1)
+                target = q * _ENC + colg
+                # straight-line pass over the 9 candidate windows in
+                # canonical (dy, dx, slot) order: per window one
+                # triangular matmul gives the within-window rank prefix
+                # (exact: 0/1 values, f32 accumulation); a running
+                # per-column count chains the windows. No fori loops or
+                # carries — compiles orders of magnitude faster than the
+                # chunked-loop formulation and keeps the VPU/MXU busy
+                # with large regular ops.
+                cnt = jnp.zeros((1, TX), jnp.int32)
+                accs = [jnp.zeros((K, TX), f32) for _ in range(8)]
+                for dy in range(3):
+                    sr = (q - 1 + dy) % 5
+                    ee = ext_win(encs[sr], t)
+                    ef = [ext_win(slabs[sr, f], t) for f in range(8)]
+                    for dx in range(3):
+                        match = ee[:, dx:dx + TX] == target   # [K, TX]
+                        local = jax.lax.dot(
+                            trilK, match.astype(f32)).astype(jnp.int32)
+                        rank = (cnt + local - 1)[None]        # [1, K, TX]
+                        oh = match[None] & (rank == ksl)      # [K, K, TX]
+                        for f in range(8):
+                            cw = ef[f][:, dx:dx + TX][None]
+                            accs[f] = accs[f] + \
+                                jnp.where(oh, cw, 0.0).sum(1)
+                        cnt = cnt + local[K - 1:K]
+                for f in range(8):
+                    migs[s, f, :, t * TX:(t + 1) * TX] = accs[f]
+                migs[s, 8, :, t * TX:(t + 1) * TX] = \
+                    (kcol < cnt).astype(f32)
+                cnt_ref[s, t] = jnp.minimum(jnp.max(cnt), K)
+
+    kk2 = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+
+    def nbr_bound(row, t):
+        """Exact post-migration occupancy bound over row's 3-tile window."""
+        s = row % 5
+        b = cnt_ref[s, t]
+        if NT > 1:
+            b = jnp.maximum(b, cnt_ref[s, jnp.clip(t - 1, 0, NT - 1)])
+            b = jnp.maximum(b, cnt_ref[s, jnp.clip(t + 1, 0, NT - 1)])
+        return b
+
+    def compute_rho(q):
+        """Poly6 density of migrated row q into the rho ring (full [K, K,
+        TX] broadcast — density math is too cheap for a bounded fori)."""
+        sq = q % 5
+        for t in range(NT):
+            @pl.when(cnt_ref[sq, t] == 0)
+            def _(t=t, sq=sq):
+                rho_ring[q % 3, :, t * TX:(t + 1) * TX] = \
+                    jnp.zeros((K, TX), f32)
+
+            @pl.when(cnt_ref[sq, t] > 0)
+            def _(t=t, q=q, sq=sq):
+                cx = migs[sq, _FP_X, :, t * TX:(t + 1) * TX][:, None, :]
+                cy = migs[sq, _FP_Y, :, t * TX:(t + 1) * TX][:, None, :]
+                acc = jnp.zeros((K, TX), f32)
+                for dr in (-1, 0, 1):
+                    src = (q + dr) % 5
+                    exx = ext_win(migs[src, _FP_X], t)
+                    exy = ext_win(migs[src, _FP_Y], t)
+                    exm = ext_win(migs[src, _FP_M], t)
+                    exo = ext_win(migs[src, _FP_OCC], t)
+                    live = kk2 < nbr_bound(q + dr, t)
+                    for dx in range(3):
+                        nbx = exx[:, dx:dx + TX][None]
+                        nby = exy[:, dx:dx + TX][None]
+                        nbm = exm[:, dx:dx + TX][None]
+                        nbo = exo[:, dx:dx + TX][None]
+                        ddx = cx - nbx
+                        ddy = cy - nby
+                        r2 = ddx * ddx + ddy * ddy
+                        w = jnp.where(live & (nbo > 0) & (r2 < h2),
+                                      poly6 * (h2 - r2) ** 3, 0.0)
+                        acc = acc + (nbm * w).sum(1)
+                rho_ring[q % 3, :, t * TX:(t + 1) * TX] = acc
+
+    def eos(rho):
+        return jnp.maximum(stiffness * (rho - rest_density), 0.0)
+
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 0)
+    kc = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 1)
+
+    def zero_out(t):
+        out1[0, :, :, t * TX:(t + 1) * TX] = jnp.zeros((9, K, TX), f32)
+        out2[0, :, :, t * TX:(t + 1) * TX] = jnp.zeros((2, K, TX), f32)
+
+    def force_out(q):
+        """Force on migrated row q + second kick; writes the output row."""
+        sq = q % 5
+        for t in range(NT):
+            @pl.when(cnt_ref[sq, t] == 0)
+            def _(t=t):
+                zero_out(t)
+
+            @pl.when(cnt_ref[sq, t] > 0)
+            def _(t=t, q=q, sq=sq):
+                ts = slice(t * TX, (t + 1) * TX)
+                cx = migs[sq, _FP_X, :, ts][:, None, :]
+                cy = migs[sq, _FP_Y, :, ts][:, None, :]
+                cvx = migs[sq, _FP_VX, :, ts][:, None, :]
+                cvy = migs[sq, _FP_VY, :, ts][:, None, :]
+                cocc = migs[sq, _FP_OCC, :, ts][:, None, :]
+                crho = rho_ring[q % 3, :, ts][:, None, :]
+                cterm = eos(crho) / jnp.maximum(crho * crho, 1e-30)
+                fx_a = jnp.zeros((K, TX), f32)
+                fy_a = jnp.zeros((K, TX), f32)
+                for dr in (-1, 0, 1):
+                    bound = nbr_bound(q + dr, t)
+
+                    def body(i, acc, dr=dr, t=t):
+                        fxa, fya = acc
+                        ch = migs[(q + dr) % 5, :, pl.ds(i * CH, CH), :]
+                        rch = rho_ring[(q + dr) % 3, pl.ds(i * CH, CH), :]
+                        for dx in range(3):
+                            w_ = lambda v: ext_win(v, t)[:, dx:dx + TX][None]
+                            nbx, nby = w_(ch[_FP_X]), w_(ch[_FP_Y])
+                            nbvx, nbvy = w_(ch[_FP_VX]), w_(ch[_FP_VY])
+                            nbm, nbo = w_(ch[_FP_M]), w_(ch[_FP_OCC])
+                            nbrho = w_(rch)
+                            nbp = eos(nbrho)
+                            ddx = cx - nbx
+                            ddy = cy - nby
+                            r2 = ddx * ddx + ddy * ddy
+                            ok = (cocc * nbo > 0) & (r2 >= min_d2) \
+                                & (r2 < h2) & (nbrho >= min_rho) \
+                                & (crho >= min_rho)
+                            if dr == 0 and dx == 1:
+                                ok = ok & (k1 != i * CH + kc)
+                            rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
+                            term = cterm + nbp / jnp.maximum(
+                                nbrho * nbrho, 1e-30)
+                            f_press = -nbm * term * spiky * (h - rr) ** 2
+                            fx = f_press * ddx / rr
+                            fy = f_press * ddy / rr
+                            f_visc = viscosity * nbm * (
+                                visc_lap * (h - rr)
+                                / jnp.maximum(nbrho, 1e-30))
+                            fx = fx - f_visc * (cvx - nbvx)
+                            fy = fy - f_visc * (cvy - nbvy)
+                            fxa = fxa + jnp.where(ok, fx, 0.0).sum(1)
+                            fya = fya + jnp.where(ok, fy, 0.0).sum(1)
+                        return fxa, fya
+
+                    nit = (bound + CH - 1) // CH
+                    fx_a, fy_a = jax.lax.fori_loop(0, nit, body,
+                                                   (fx_a, fy_a))
+                # second kick (metal:428-441) + output row assembly
+                out1[0, _FP_X, :, ts] = migs[sq, _FP_X, :, ts]
+                out1[0, _FP_Y, :, ts] = migs[sq, _FP_Y, :, ts]
+                out1[0, _FP_VX, :, ts] = migs[sq, _FP_HX, :, ts] \
+                    + half_dt * fx_a
+                out1[0, _FP_VY, :, ts] = migs[sq, _FP_HY, :, ts] \
+                    + half_dt * fy_a
+                out1[0, _FP_HX, :, ts] = fx_a
+                out1[0, _FP_HY, :, ts] = fy_a
+                out1[0, _FP_M, :, ts] = migs[sq, _FP_M, :, ts]
+                out1[0, _FP_ID, :, ts] = migs[sq, _FP_ID, :, ts]
+                out1[0, _FP_OCC, :, ts] = migs[sq, _FP_OCC, :, ts]
+                rho_t = rho_ring[q % 3, :, ts]
+                out2[0, 0, :, ts] = rho_t
+                out2[0, 1, :, ts] = eos(rho_t)
+
+    # ---- schedule -------------------------------------------------------
+    @pl.when(p == 0)
+    def _():                            # warmup
+        dma(0).start()
+        dma(1).start()
+        dma(2).start()
+        dma(3).start()
+        dma(0).wait()
+        dma(1).wait()
+        dma(2).wait()
+        drift(0)
+        drift(1)
+        drift(2)
+        zero_mig(0)                     # top apron: empty
+        mig(1)
+        rho_ring[0] = jnp.zeros((K, NTX), f32)
+
+    @pl.when(p + 3 < NY2)
+    def _():
+        dma(p + 3).wait()               # p==0: row 3, started in warmup
+        drift(p + 3)
+
+    @pl.when(p + 4 < NY2)               # p's start pairs with p+1's wait
+    def _():
+        dma(p + 4).start()
+
+    @pl.when(p + 2 <= ny)
+    def _():
+        mig(p + 2)
+
+    @pl.when(p + 2 == ny + 1)
+    def _():
+        zero_mig(ny + 1)                # bottom apron: empty
+
+    @pl.when(p + 1 <= ny)
+    def _():
+        compute_rho(p + 1)
+
+    @pl.when(p + 1 == ny + 1)
+    def _():
+        rho_ring[(p + 1) % 3] = jnp.zeros((K, NTX), f32)
+
+    @pl.when((p >= 1) & (p <= ny))
+    def _():
+        force_out(p)
+
+    @pl.when((p == 0) | (p == ny + 1))
+    def _():                            # apron output rows stay empty
+        for t in range(NT):
+            zero_out(t)
+
+
+def make_fused_substep(ny: int, nx: int, NT: int, K: int, h: float,
+                       poly6: float, spiky: float, visc_lap: float,
+                       viscosity: float, min_d2: float, min_rho: float,
+                       stiffness: float, rest_density: float,
+                       half_dt: float, sub_dt: float, lim: float,
+                       cell: float, eps: float, gmin: int,
+                       TX: int = TILE_X, dtype=jnp.float32,
+                       interpret: bool = False):
+    """Returns substep(rm2, D9) -> (D9', rho_p) for one whole SPH sub-step.
+
+    D9 is the padded 9-plane stack [ny+2, 9, K, NT*TX] (planes: x, y, vx,
+    vy, ax, ay, m, id, occ); rm2 the per-(padded-row, tile) max cell
+    occupancy [ny+2, NT] int32 of D9's occ plane. D9' has the same layout
+    with post-sub-step values (planes 4/5 = new accelerations), so it feeds
+    straight back in; rho_p is [ny+2, 2, K, NT*TX] (density, pressure).
+    Replaces the whole XLA substep body: integrate + _migrate + density +
+    force + second kick in ONE pass over the grid rows.
+
+    Status: EXPERIMENTAL (pair_backend="fused"), measured v5e dam break
+    vs the default sweep + XLA migrate: 43.4 vs 50.6 ticks/s at 20k, 6.6
+    vs 9.4 at 100k (and ~10x the compile time). The in-kernel migration's
+    9-window one-hot compaction costs more per active cell than the XLA
+    formulation's whole-grid pass saves in HBM round-trips/dispatch, so
+    the fusion loses on today's Mosaic codegen. Kept with interpret-mode
+    parity tests as the starting point for future kernel work."""
+    if ny < 2:
+        raise ValueError("fused substep needs ny >= 2")
+    if nx + 2 >= _ENC:
+        raise ValueError(f"grid too wide for packed targets (nx={nx})")
+    NTX = NT * TX
+    kern = functools.partial(
+        _fused_kernel, h, h * h, poly6, spiky, visc_lap, viscosity,
+        min_d2, min_rho, stiffness, rest_density, half_dt, sub_dt, lim,
+        cell, eps, gmin, nx, K, TX, NT, NTX, ny)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ny + 2,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 9, K, NTX), lambda j, rm: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, K, NTX), lambda j, rm: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, 9, K, NTX), dtype),       # drifted-row ring
+            pltpu.VMEM((5, K, NTX), jnp.int32),      # packed targets
+            pltpu.VMEM((5, 9, K, NTX), dtype),       # migrated-row ring
+            pltpu.VMEM((3, K, NTX), dtype),          # rho ring
+            pltpu.SMEM((5, NT), jnp.int32),          # post-mig occupancy
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ny + 2, 9, K, NTX), dtype),
+            jax.ShapeDtypeStruct((ny + 2, 2, K, NTX), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    def substep(rm2, D9):
+        return call(rm2, D9)
+
+    return substep
+
+
 def make_density(ny: int, NT: int, K: int, h: float, poly6: float,
                  TX: int = TILE_X, dtype=jnp.float32,
                  interpret: bool = False):

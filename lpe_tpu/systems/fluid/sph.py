@@ -184,8 +184,17 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
     nm = fc.numerical
     K = max(1, min(fc.grid.max_per_cell, NL))
     nxp = nx + 2
-    use_pallas = fc.pair_backend == "pallas" or (
+    # "pallas" = split density/force row-band kernels; "sweep" = the fused
+    # rolling-window pair pass (ops/pallas_sph.make_pair_sweep); "fused" =
+    # the whole-substep kernel (drift+migrate+density+force+kick —
+    # make_fused_substep, resident mode only; opt-in: measured SLOWER than
+    # sweep + XLA migrate on v5e, see make_fused_substep's docstring).
+    # auto = sweep on TPU.
+    use_pallas = fc.pair_backend in ("pallas", "sweep", "fused") or (
         fc.pair_backend == "auto" and jax.default_backend() == "tpu")
+    use_sweep = use_pallas and ny >= 2 and \
+        fc.pair_backend not in ("pallas",)
+    use_fused = use_sweep and fc.pair_backend == "fused" and mesh is None
 
     def cell_coords(x, y):
         gx = jnp.floor((x + eps) / cell).astype(jnp.int32) - gmin
@@ -337,6 +346,39 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         _pl_force = make_force(ny, _NT, K, h, SPIKY, VISC, fc.viscosity,
                                nm.min_distance_threshold,
                                nm.min_density_threshold, interpret=_interp)
+        if use_sweep:
+            from ...ops.pallas_sph import make_pair_sweep
+            _pl_sweep = make_pair_sweep(
+                ny, _NT, K, h, POLY6, SPIKY, VISC, fc.viscosity,
+                nm.min_distance_threshold, nm.min_density_threshold,
+                fc.stiffness, fc.rest_density, interpret=_interp)
+
+        def _tile_bounds_t(occ):
+            """_tile_bounds for an already tile-padded [rows, K, NTX] occ."""
+            return occ.sum(axis=1).reshape(occ.shape[0], _NT, _TX) \
+                      .max(-1).astype(jnp.int32)
+
+        if use_fused:
+            from ...ops.pallas_sph import make_fused_substep
+            # drift clamp: migration handles at most 1-cell moves per
+            # sub-step (see step_resident)
+            _lim = 0.45 * cell
+            _pl_fused = make_fused_substep(
+                ny, nx, _NT, K, h, POLY6, SPIKY, VISC, fc.viscosity,
+                nm.min_distance_threshold, nm.min_density_threshold,
+                fc.stiffness, fc.rest_density, half_dt, sub_dt, _lim,
+                cell, eps, gmin, interpret=_interp)
+
+        def _d9_stack(D0):
+            zp = _padx(jnp.zeros_like(D0["x"]))
+            return jnp.stack(
+                [_padx(D0["x"]), _padx(D0["y"]), _padx(D0["vx"]),
+                 _padx(D0["vy"]), zp, zp, _padx(D0["m"]), _padx(D0["id"]),
+                 _padx(D0["occ"])], axis=1)
+
+        def _d6_stack(Dn):
+            return jnp.stack([_padx(Dn[f]) for f in
+                              ("x", "y", "vx", "vy", "m", "occ")], axis=1)
 
         def _padx(v):
             return jnp.pad(v, ((0, 0), (0, 0), (0, _nxp_t - nxp)))
@@ -377,6 +419,20 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         pad = lambda v: jnp.pad(v[:, :, :nxp], ((1, 1), (0, 0), (0, 0)))
         fx_p, fy_p = from_dense(grid, [pad(fx_rows), pad(fy_rows)])
         return fx_p, fy_p
+
+    def pair_sweep_pass(x, y, vxc, vyc, mass, grid):
+        """Fused density+force via the rolling-window sweep kernel: one
+        dense build, one kernel, no intermediate rho/p HBM round-trip.
+        Returns (rho, pres, fx, fy) in particle order."""
+        D = to_dense(grid, dict(x=x, y=y, vx=vxc, vy=vyc, m=mass,
+                                occ=jnp.ones_like(x)))
+        rm2 = _tile_bounds(D["occ"])
+        rho_rows, fx_rows, fy_rows = _pl_sweep(rm2, _d6_stack(D))
+        prow = lambda v: jnp.pad(v[:, :, :nxp], ((1, 1), (0, 0), (0, 0)))
+        rho, fx, fy = from_dense(
+            grid, [prow(rho_rows), prow(fx_rows), prow(fy_rows)])
+        rho = jnp.where(grid["pvalid"], rho, mass * POLY6 * (h * h) ** 3)
+        return rho, _eos(rho), fx, fy
 
     def density_core(D):
         """Dense-in/dense-out poly6 density: D is the padded dense dict
@@ -651,14 +707,15 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             vals, idx = jax.lax.top_k(score, _RC)
             return jnp.where(vals > 0, idx, NR).astype(jnp.int32)
 
-        def _cpl_mask(occ_pad, R, row_off=0):
+        def _cpl_mask(rm, R, row_off=0):
             """[rows, NT] int32: tile has particles AND a rigid AABB within
-            a one-cell slack (coupling is a no-op outside the AABB)."""
-            rm = _tile_bounds(occ_pad)
-            tx0 = (jnp.arange(_NT) * _TX - 2).astype(occ_pad.dtype) * cell
+            a one-cell slack (coupling is a no-op outside the AABB). ``rm``
+            is the per-(row, tile) occupancy bound from _tile_bounds*."""
+            dt_ = R["pos"].dtype
+            tx0 = (jnp.arange(_NT) * _TX - 2).astype(dt_) * cell
             tx1 = tx0 + (_TX + 2) * cell
-            rows = occ_pad.shape[0]
-            ry0 = (jnp.arange(rows) - 2 + row_off).astype(occ_pad.dtype) \
+            rows = rm.shape[0]
+            ry0 = (jnp.arange(rows) - 2 + row_off).astype(dt_) \
                 * cell
             ry1 = ry0 + 3.0 * cell
             ovx = (R["minx"][None, :] <= tx1[:, None]) & \
@@ -679,7 +736,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                 _padx(Dn["x"]), _padx(Dn["y"]), _padx(vx1), _padx(vy1),
                 _padx(Dn["rho"]), _padx(Dn["p"]), _padx(Dn["m"]),
                 _padx(Dn["occ"]), _padx(ax1), _padx(ay1)])
-            cpl2 = _cpl_mask(Dn["occ"], R, row_off)
+            cpl2 = _cpl_mask(_tile_bounds(Dn["occ"]), R, row_off)
             outs = pl_couple(cpl2, cand_tab, rig_tab, D10)
             prow = lambda v: jnp.pad(v[:, :, :nxp], ((1, 1), (0, 0), (0, 0)))
             x2, y2, vx2, vy2, ax2, ay2 = [prow(o) for o in outs[:6]]
@@ -890,13 +947,18 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             if _ablate == "grid":
                 rho = jnp.where(grid["pvalid"], 1.0, 0.0)
                 return dict(cr, x=x1, y=y1, vx=vhx, vy=vhy, rho=rho)
-            dpass = density_pass_pl if use_pallas else density_pass
-            fpass = force_pass_pl if use_pallas else force_pass
-            rho, pres, D = dpass(x1, y1, mass, grid)
+            if use_sweep:
+                rho, pres, fx, fy = pair_sweep_pass(
+                    x1, y1, cr["vx"], cr["vy"], mass, grid)
+            else:
+                dpass = density_pass_pl if use_pallas else density_pass
+                fpass = force_pass_pl if use_pallas else force_pass
+                rho, pres, D = dpass(x1, y1, mass, grid)
             if _ablate == "density":
                 return dict(cr, x=x1, y=y1, vx=vhx, vy=vhy,
                             rho=rho, pres=pres)
-            fx, fy = fpass(cr["vx"], cr["vy"], D, grid)
+            if not use_sweep:
+                fx, fy = fpass(cr["vx"], cr["vy"], D, grid)
             ax, ay = fx, fy
             if _ablate == "nocouple":
                 vx1 = vhx + half_dt * ax
@@ -1000,28 +1062,39 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             Dn = dict(Dn, ax=D["ax"], ay=D["ay"], rho=D["rho"], p=D["p"])
             if _ablate == "grid":
                 return dict(cr, D=Dn)
-            if use_pallas:
+            prow = lambda v: jnp.pad(v[:, :, :nxp],
+                                     ((1, 1), (0, 0), (0, 0)))
+            if use_sweep:
                 rm2 = _tile_bounds(Dn["occ"])
-                D4 = _d4_stack(Dn)
-                rho_rows = _pl_density(rm2, D4)[:, :, :nxp]
-                rho_pad = jnp.pad(rho_rows, ((1, 1), (0, 0), (0, 0)))
-            else:
-                rho_pad = jnp.pad(density_core(Dn),
-                                  ((1, 1), (1, 1), (0, 0)))
-            Dn["rho"] = rho_pad
-            Dn["p"] = _eos(rho_pad)
-            if _ablate == "density":
-                return dict(cr, D=Dn)
-            if use_pallas:
-                D8 = _d8_stack(D4, Dn["vx"], Dn["vy"], Dn["rho"], Dn["p"])
-                fx_r, fy_r = _pl_force(rm2, D8)
-                prow = lambda v: jnp.pad(v[:, :, :nxp],
-                                         ((1, 1), (0, 0), (0, 0)))
+                rho_rows, fx_r, fy_r = _pl_sweep(rm2, _d6_stack(Dn))
+                rho_pad = prow(rho_rows)
+                Dn["rho"] = rho_pad
+                Dn["p"] = _eos(rho_pad)
+                if _ablate == "density":
+                    return dict(cr, D=Dn)
                 ax1, ay1 = prow(fx_r), prow(fy_r)
             else:
-                fx_i, fy_i = force_core(Dn)
-                pad3 = lambda v: jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
-                ax1, ay1 = pad3(fx_i), pad3(fy_i)
+                if use_pallas:
+                    rm2 = _tile_bounds(Dn["occ"])
+                    D4 = _d4_stack(Dn)
+                    rho_rows = _pl_density(rm2, D4)[:, :, :nxp]
+                    rho_pad = jnp.pad(rho_rows, ((1, 1), (0, 0), (0, 0)))
+                else:
+                    rho_pad = jnp.pad(density_core(Dn),
+                                      ((1, 1), (1, 1), (0, 0)))
+                Dn["rho"] = rho_pad
+                Dn["p"] = _eos(rho_pad)
+                if _ablate == "density":
+                    return dict(cr, D=Dn)
+                if use_pallas:
+                    D8 = _d8_stack(D4, Dn["vx"], Dn["vy"], Dn["rho"],
+                                   Dn["p"])
+                    fx_r, fy_r = _pl_force(rm2, D8)
+                    ax1, ay1 = prow(fx_r), prow(fy_r)
+                else:
+                    fx_i, fy_i = force_core(Dn)
+                    pad3 = lambda v: jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
+                    ax1, ay1 = pad3(fx_i), pad3(fy_i)
             # second kick (metal:428-441)
             vx1 = Dn["hx"] + half_dt * ax1
             vy1 = Dn["hy"] + half_dt * ay1
@@ -1055,6 +1128,69 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         if use_cpl_kernel:
             rig_tab = _rigid_table(R)
             cand_tab = _cand_rows(R, ny + 2)
+
+        if use_fused and _ablate == "":
+            # Whole-substep fused kernel: the carry is the 9-plane row
+            # stack itself — per sub-step XLA does only the (tiny) tile
+            # occupancy bound, the kernel, and (if rigids) the coupling
+            # kernel + plane restack. Physics identical to the substep
+            # body above up to float reassociation.
+            D9 = _d9_stack(D0)
+            shp2 = (ny + 2, 2) + D9.shape[2:]
+            carryf = dict(D9=D9, rm=_tile_bounds_t(D9[:, 8]),
+                          RP=jnp.zeros(shp2, D9.dtype),
+                          Fx=carry0["Fx"], Fy=carry0["Fy"],
+                          Tq=carry0["Tq"])
+
+            def substep_f(_, cr):
+                D9n, RP = _pl_fused(cr["rm"], cr["D9"])
+                rmn = _tile_bounds_t(D9n[:, 8])
+                if NR == 0:
+                    return dict(cr, D9=D9n, rm=rmn, RP=RP)
+                D10 = jnp.stack([
+                    D9n[:, 0], D9n[:, 1], D9n[:, 2], D9n[:, 3],
+                    RP[:, 0], RP[:, 1], D9n[:, 6], D9n[:, 8],
+                    D9n[:, 4], D9n[:, 5]])
+                cpl2 = _cpl_mask(rmn, R)
+                outs = _pl_couple(cpl2, cand_tab, rig_tab, D10)
+                prow_t = lambda v: jnp.pad(v, ((1, 1), (0, 0), (0, 0)))
+                x2, y2, vx2, vy2, ax2, ay2 = [prow_t(o) for o in outs[:6]]
+                off = fc.grid.boundary_offset
+                x2 = jnp.where(x2 < 0.0, off, x2)
+                y2 = jnp.where(y2 < 0.0, off, y2)
+                pr = outs[6].reshape(-1, 4)
+                ids = jnp.round(pr[:, 3]).astype(jnp.int32)
+                acc = jnp.zeros((NR + 1, 3), pr.dtype).at[ids].add(
+                    pr[:, :3], mode="drop")
+                D9c = jnp.stack([x2, y2, vx2, vy2, ax2, ay2, D9n[:, 6],
+                                 D9n[:, 7], D9n[:, 8]], axis=1)
+                return dict(D9=D9c, rm=rmn, RP=RP,
+                            Fx=cr["Fx"] + acc[:NR, 0],
+                            Fy=cr["Fy"] + acc[:NR, 1],
+                            Tq=cr["Tq"] + acc[:NR, 2])
+
+            crf = jax.lax.fori_loop(0, fc.num_sub_steps, substep_f, carryf)
+            D9f, RPf = crf["D9"], crf["RP"]
+            flat_idf = jnp.round(D9f[:, 7].reshape(-1)).astype(jnp.int32)
+            occ_f = D9f[:, 8].reshape(-1) > 0
+            Sf = flat_idf.shape[0]
+            tgtf = jnp.where(occ_f, flat_idf - 1, NL)
+            slotf = jnp.full((NL + 1,), -1, jnp.int32).at[tgtf].set(
+                jnp.arange(Sf, dtype=jnp.int32), mode="drop")[:NL]
+            maskf = slotf >= 0
+            gif = jnp.clip(slotf, 0)
+
+            def rbf(fld, old):
+                return jnp.where(maskf, fld.reshape(-1)[gif], old)
+
+            return _finalize(
+                state,
+                rbf(D9f[:, 0], x), rbf(D9f[:, 1], y),
+                rbf(D9f[:, 2], vx), rbf(D9f[:, 3], vy),
+                rbf(RPf[:, 0], b.density[L0:L0 + NL]),
+                rbf(RPf[:, 1], b.pressure[L0:L0 + NL]),
+                crf["Fx"], crf["Fy"], crf["Tq"])
+
         cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
         D = cr["D"]
 

@@ -218,6 +218,67 @@ def test_resident_pallas_interpret_matches_xla():
                        np.asarray(s_p.bodies.density)[liq], rtol=1e-5)
 
 
+def test_pallas_sweep_matches_xla_scatter():
+    """The fused rolling-window sweep kernel (ops/pallas_sph.py
+    make_pair_sweep, interpret mode on CPU) against the XLA path, scatter
+    (non-resident) mode."""
+    sc = _blob_scene(n=40, vmax=0.5, seed=11)
+    s_x = _run_fluid(sc, "off", ticks=2, pair_backend="xla")
+    s_p = _run_fluid(sc, "off", ticks=2, pair_backend="sweep")
+    liq = sc.spec.liquid_slice
+    assert np.allclose(np.asarray(s_x.bodies.pos)[liq],
+                       np.asarray(s_p.bodies.pos)[liq], atol=1e-6)
+    assert np.allclose(np.asarray(s_x.bodies.density)[liq],
+                       np.asarray(s_p.bodies.density)[liq], rtol=1e-5)
+    assert np.allclose(np.asarray(s_x.bodies.vel)[liq],
+                       np.asarray(s_p.bodies.vel)[liq], atol=1e-5)
+
+
+def test_pallas_sweep_matches_xla_resident():
+    """Sweep kernel in grid-resident mode (the production TPU path),
+    including rigid coupling downstream of the swept rho/forces."""
+    sc = _blob_scene(n=50, vmax=0.4, walls=True, seed=5)
+    s_x = _run_fluid(sc, "on", ticks=2, pair_backend="xla")
+    s_p = _run_fluid(sc, "on", ticks=2, pair_backend="sweep")
+    liq = sc.spec.liquid_slice
+    assert np.allclose(np.asarray(s_x.bodies.pos)[liq],
+                       np.asarray(s_p.bodies.pos)[liq], atol=1e-5)
+    assert np.allclose(np.asarray(s_x.bodies.density)[liq],
+                       np.asarray(s_p.bodies.density)[liq], rtol=1e-4)
+    assert np.allclose(np.asarray(s_x.bodies.vel)[liq],
+                       np.asarray(s_p.bodies.vel)[liq], atol=1e-4)
+
+
+def test_fused_substep_matches_xla_resident():
+    """The whole-substep fused kernel (ops/pallas_sph.py
+    make_fused_substep: drift+migrate+density+force+kick in one pass,
+    interpret mode on CPU) against the XLA resident path, including rigid
+    coupling downstream (walls=True exercises the coupled carry restack)."""
+    sc = _blob_scene(n=50, vmax=0.4, walls=True, seed=5)
+    s_x = _run_fluid(sc, "on", ticks=2, pair_backend="xla")
+    s_f = _run_fluid(sc, "on", ticks=2, pair_backend="fused")
+    liq = sc.spec.liquid_slice
+    assert np.allclose(np.asarray(s_x.bodies.pos)[liq],
+                       np.asarray(s_f.bodies.pos)[liq], atol=1e-5)
+    assert np.allclose(np.asarray(s_x.bodies.density)[liq],
+                       np.asarray(s_f.bodies.density)[liq], rtol=1e-4)
+    assert np.allclose(np.asarray(s_x.bodies.vel)[liq],
+                       np.asarray(s_f.bodies.vel)[liq], atol=1e-4)
+
+
+def test_fused_substep_matches_xla_no_rigids():
+    """Fused kernel, rigid-free scene (the NR == 0 fast path: no coupling
+    kernel, no plane restack between sub-steps)."""
+    sc = _blob_scene(n=40, vmax=0.5, seed=11)
+    s_x = _run_fluid(sc, "on", ticks=2, pair_backend="xla")
+    s_f = _run_fluid(sc, "on", ticks=2, pair_backend="fused")
+    liq = sc.spec.liquid_slice
+    assert np.allclose(np.asarray(s_x.bodies.pos)[liq],
+                       np.asarray(s_f.bodies.pos)[liq], atol=1e-6)
+    assert np.allclose(np.asarray(s_x.bodies.vel)[liq],
+                       np.asarray(s_f.bodies.vel)[liq], atol=1e-5)
+
+
 def test_pallas_coupling_kernel_matches_xla():
     """The fused Pallas coupling kernel (ops/pallas_sph.py make_coupling,
     interpret mode on CPU) against the XLA overlap/impulse/position solves:
