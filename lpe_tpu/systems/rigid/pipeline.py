@@ -309,13 +309,42 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                     f"(max_pairs={MAX_PAIRS}, max_contacts={C}); the state "
                     "was built with a different RigidBodyConfig — rebuild the "
                     "scene with the same config or set warm_start=False")
-            # only reuse impulses if this slot still holds the same pair
-            same = (state.warm_ia[:MAX_PAIRS] == ia) & \
-                   (state.warm_ib[:MAX_PAIRS] == ib)
+            # Match cached impulses by pair IDENTITY, not slot alone:
+            # nonzero compaction shifts every downstream slot when a
+            # candidate pair appears/disappears, which would cold-start
+            # whole stacks. The reference matches manifolds by entity pair
+            # + point position (contact_manager.cpp:164-248); pair id +
+            # deterministic deepest-first contact order gives the same
+            # correspondence. Lookup = one hash-table scatter + gather; a
+            # same-slot match is always honored first, so a hash collision
+            # (the .max keeps only the higher colliding slot) can only
+            # cold-start a pair that ALSO moved slots this tick — never a
+            # wrong match: the slot's pair ids are verified either way.
+            H = 1 << max(4, (8 * MAX_PAIRS - 1).bit_length())
+            def _hash(a_, b_):
+                # Knuth multiplicative (2654435761 as wrapped int32);
+                # int32 mul wraps two's-complement, & masks to [0, H)
+                return ((a_ * jnp.int32(-1640531535) ^ b_) *
+                        jnp.int32(40503)) & jnp.int32(H - 1)
+            pia = state.warm_ia[:MAX_PAIRS]
+            pib = state.warm_ib[:MAX_PAIRS]
+            tbl = jnp.full((H,), -1, jnp.int32)
+            tbl = tbl.at[_hash(pia, pib)].max(
+                jnp.where(pia >= 0, jnp.arange(MAX_PAIRS, dtype=jnp.int32),
+                          -1))
+            hslot = tbl[_hash(ia.astype(jnp.int32), ib.astype(jnp.int32))]
+            in_slot = (pia == ia) & (pib == ib)
+            slot = jnp.where(in_slot,
+                             jnp.arange(MAX_PAIRS, dtype=jnp.int32), hslot)
+            sc_ = jnp.clip(slot, 0)
+            same = in_slot | (
+                (slot >= 0) & (pia[sc_] == ia) & (pib[sc_] == ib))
             ln0 = jnp.where(same[:, None],
-                            state.warm_normal[:MAX_PAIRS], 0.0).reshape(-1)
+                            state.warm_normal[:MAX_PAIRS][sc_],
+                            0.0).reshape(-1)
             lt0 = jnp.where(same[:, None],
-                            state.warm_tangent[:MAX_PAIRS], 0.0).reshape(-1)
+                            state.warm_tangent[:MAX_PAIRS][sc_],
+                            0.0).reshape(-1)
             ln0 = jnp.where(avalid, ln0[rid_s], 0.0)
             lt0 = jnp.where(avalid, lt0[rid_s], 0.0)
         else:

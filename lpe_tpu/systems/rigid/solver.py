@@ -105,9 +105,18 @@ def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
 
     # Warm start: cached impulses must be applied up front so the clamp
     # accumulators (which start at lam_*0) stay consistent with what the
-    # velocities have actually received.
-    lam_n0 = jnp.where(valid, lam_n0, 0.0)
-    lam_t0 = jnp.where(valid, lam_t0, 0.0)
+    # velocities have actually received. Only contacts that are still
+    # approaching (vn <= 0) are warm-started: a separating contact's cached
+    # impulse is last tick's *impact*, and pre-applying it injects a second
+    # bounce that the bounded Jacobi iterations cannot fully unload (a
+    # sequential PGS unloads it contact-by-contact; the parallel solver
+    # removes only part per iteration). Resting/pressed contacts — where
+    # warm starting is what keeps stacks from sinking — have vn ~ 0 and
+    # keep their cache.
+    vn0, _ = rel_vel2(u)
+    warm_ok = valid & (vn0 <= 0.0)
+    lam_n0 = jnp.where(warm_ok, lam_n0, 0.0)
+    lam_t0 = jnp.where(warm_ok, lam_t0, 0.0)
     u = apply2(u, lam_n0, lam_t0)
 
     def body(_, carry):
