@@ -287,6 +287,20 @@ class FluidConfig:
     # drop contract as the scatter path; pair sums reassociate, so results
     # match the scatter path to float tolerance, not bitwise.
     residency: str = "auto"
+    # Grid residency across TICKS (multi-tick dispatch blocks built by
+    # systems.build_run_fn): "auto" = on for TPU when residency is active,
+    # single-device, no Barnes-Hut (n-body touches liquid velocities in
+    # particle order) and no liquid has a Sleep component; "on"/"off" force
+    # it. When on, the dense grid is built once per BLOCK and read back once
+    # per block instead of once per tick; the per-tick boundary bounce and
+    # uniform gravity are applied to the liquid planes in grid space
+    # (identical elementwise math; a margin clamp that moves a particle
+    # more than one cell leaves it briefly mis-binned while the migration
+    # target-walk re-bins it over the next sub-steps).
+    # Slot assignment differs from the per-tick rebuild, so pair
+    # sums reassociate: results match per-tick residency to float
+    # tolerance, not bitwise.
+    cross_tick_residency: str = "auto"
     # Per-row candidate capacity of the fused coupling kernel (TPU): each
     # grid row couples against at most this many rigids (those whose AABB
     # spans the row; lowest-id surplus kept). Size to the scene's max rigid

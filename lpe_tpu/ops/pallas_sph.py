@@ -216,7 +216,7 @@ def _grid_spec(ny: int, NT: int, F: int, K: int, TX: int, n_out: int,
 
 
 def _coupling_kernel(RC, V, W, cn, K, TX, cpl_ref, cand_ref, rig_ref, d_ref,
-                     ox, oy, ovx, ovy, oax, oay, orf):
+                     ox, oy, ovx, ovy, oax, oay, orf, cacc):
     """Fused rigid-fluid coupling over one (row, tile) block.
 
     Ports the XLA overlap/impulse/position solves (systems/fluid/sph.py,
@@ -256,9 +256,17 @@ def _coupling_kernel(RC, V, W, cn, K, TX, cpl_ref, cand_ref, rig_ref, d_ref,
 
         z = jnp.zeros((K, TX), px.dtype)
         fz = jnp.zeros((K, TX), jnp.bool_)
-        acx, acy = z, z                 # position corrections (sum rigids)
-        sfx, sfy = z, z                 # impulse force on fluid (sum rigids)
-        had_pos, had_imp = fz, fz
+        # cross-candidate accumulators live in scratch so each candidate's
+        # heavy work (polygon vertex loops + impulse math) sits under a
+        # pl.when keyed on "any lane inside this candidate's AABB" — a
+        # tank's side walls are candidates in every row but touch almost no
+        # particles, and the skip is exact (a candidate with no lane in its
+        # AABB contributes identically zero). Planes: 0 acx, 1 acy (position
+        # corrections), 2 sfx, 3 sfy (fluid impulse force), 4 had_pos,
+        # 5 had_imp (0/1 flags).
+        cacc[...] = jnp.zeros((6, K, TX), px.dtype)
+        for i in range(4 * RC):        # SMEM scalars: one store each
+            orf[0, t, i] = jnp.float32(0.0)
         for r in range(RC):
             rd = crow[0, r]
             rrow = rig_ref[pl.ds(rd, 1), :]                 # [1, W]
@@ -271,158 +279,167 @@ def _coupling_kernel(RC, V, W, cn, K, TX, cpl_ref, cand_ref, rig_ref, d_ref,
             ry = py - rpy
             in_aabb = (px >= minx) & (px <= maxx) & \
                       (py >= miny) & (py <= maxy) & (rvalid > 0) & (occ > 0)
-            # circle overlap (skipped at trace time for all-polygon scenes)
-            if cn["any_circle"]:
-                d2 = rx * rx + ry * ry
-                dist_c = jnp.sqrt(jnp.maximum(d2, 1e-30))
-                inside_c = d2 < rrad * rrad
-            else:
-                dist_c = jnp.full((K, TX), 1.0, px.dtype)
-                inside_c = fz
-            # polygon overlap: ray-cast parity + closest boundary point
-            # (reference: metal:125-194). Static vert unroll, nv-masked;
-            # skipped at trace time for all-circle scenes.
-            parity = jnp.zeros((K, TX), jnp.int32)
-            best_d2 = jnp.full((K, TX), 1e30, px.dtype)
-            cxb, cyb = z, z
-            for v in range(V if cn["any_poly"] else 0):
-                vm = jnp.float32(v) < rnv
-                xi, yi = c(15 + 2 * v), c(16 + 2 * v)
-                # prev vertex: v-1, wrapping v==0 -> nv-1 (scalar select
-                # over the static vert list keeps indexing static)
-                if v == 0:
-                    xj, yj = xi, yi
-                    for u in range(1, V):
-                        sel = jnp.float32(u) == rnv - 1.0
-                        xj = jnp.where(sel, c(15 + 2 * u), xj)
-                        yj = jnp.where(sel, c(16 + 2 * u), yj)
-                else:
-                    xj = c(15 + 2 * (v - 1))
-                    yj = c(16 + 2 * (v - 1))
-                denom = yj - yi
-                tx_ = (xj - xi) * (py - yi) / jnp.where(
-                    jnp.abs(denom) < 1e-30, 1e-30, denom) + xi
-                crosses = ((yi > py) != (yj > py)) & (px < tx_) & vm
-                parity = parity + crosses.astype(jnp.int32)
-                # closest point on edge v -> v+1 (wrap nv-1 -> 0)
-                if v + 1 < V:
-                    wrap = jnp.float32(v) == rnv - 1.0
-                    x2s = jnp.where(wrap, c(15),
-                                    c(15 + 2 * (v + 1)))
-                    y2s = jnp.where(wrap, c(16),
-                                    c(16 + 2 * (v + 1)))
-                else:
-                    x2s, y2s = c(15), c(16)
-                ex = x2s - xi
-                ey = y2s - yi
-                el2 = ex * ex + ey * ey
-                tt = ((px - xi) * ex + (py - yi) * ey) \
-                    / jnp.where(el2 < 1e-16, 1e-16, el2)
-                tt = jnp.clip(tt, 0.0, 1.0)
-                qx = xi + tt * ex
-                qy = yi + tt * ey
-                qd2 = (px - qx) ** 2 + (py - qy) ** 2
-                qd2 = jnp.where(vm & (el2 >= 1e-16), qd2, 1e30)
-                better = qd2 < best_d2
-                best_d2 = jnp.where(better, qd2, best_d2)
-                cxb = jnp.where(better, qx, cxb)
-                cyb = jnp.where(better, qy, cyb)
-            inside_p = ((parity % 2) == 1) & (rnv >= 3.0)
-            pdx = px - cxb
-            pdy = py - cyb
-            dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
-            if cn["any_circle"] and cn["any_poly"]:
-                is_c = ric > 0
-            else:                      # uniform scenes: constant predicate,
-                is_c = bool(cn["any_circle"])   # dead branch folds away
-            inside = in_aabb & jnp.where(is_c, inside_c, inside_p)
 
-            # ---- position correction (metal:533-668) ----
-            msd = cn["min_safe_distance"]
-            d_c = jnp.maximum(dist_c, msd)
-            dirx_c = jnp.where(dist_c < msd, 1.0, rx / d_c)
-            diry_c = jnp.where(dist_c < msd, 0.0, ry / d_c)
-            pen_c = (rrad - d_c) + cn["safety_margin"]
-            d_p = jnp.maximum(dist_p, msd)
-            dirx_p = jnp.where(dist_p < msd, 1.0, pdx / d_p)
-            diry_p = jnp.where(dist_p < msd, 0.0, pdy / d_p)
-            pen_p = d_p + cn["safety_margin"]
-            corr_x = jnp.where(is_c, -dirx_c * pen_c, dirx_p * pen_p)
-            corr_y = jnp.where(is_c, -diry_c * pen_c, diry_p * pen_p)
-            acx = acx + jnp.where(inside, corr_x * cn["relax_factor"], 0.0)
-            acy = acy + jnp.where(inside, corr_y * cn["relax_factor"], 0.0)
-            had_pos = had_pos | inside
+            @pl.when(jnp.any(in_aabb))
+            def _():
+                # circle overlap (skipped at trace time for all-polygon scenes)
+                if cn["any_circle"]:
+                    d2 = rx * rx + ry * ry
+                    dist_c = jnp.sqrt(jnp.maximum(d2, 1e-30))
+                    inside_c = d2 < rrad * rrad
+                else:
+                    dist_c = jnp.full((K, TX), 1.0, px.dtype)
+                    inside_c = fz
+                # polygon overlap: ray-cast parity + closest boundary point
+                # (reference: metal:125-194). Static vert unroll, nv-masked;
+                # skipped at trace time for all-circle scenes.
+                parity = jnp.zeros((K, TX), jnp.int32)
+                best_d2 = jnp.full((K, TX), 1e30, px.dtype)
+                cxb, cyb = z, z
+                for v in range(V if cn["any_poly"] else 0):
+                    vm = jnp.float32(v) < rnv
+                    xi, yi = c(15 + 2 * v), c(16 + 2 * v)
+                    # prev vertex: v-1, wrapping v==0 -> nv-1 (scalar select
+                    # over the static vert list keeps indexing static)
+                    if v == 0:
+                        xj, yj = xi, yi
+                        for u in range(1, V):
+                            sel = jnp.float32(u) == rnv - 1.0
+                            xj = jnp.where(sel, c(15 + 2 * u), xj)
+                            yj = jnp.where(sel, c(16 + 2 * u), yj)
+                    else:
+                        xj = c(15 + 2 * (v - 1))
+                        yj = c(16 + 2 * (v - 1))
+                    denom = yj - yi
+                    tx_ = (xj - xi) * (py - yi) / jnp.where(
+                        jnp.abs(denom) < 1e-30, 1e-30, denom) + xi
+                    crosses = ((yi > py) != (yj > py)) & (px < tx_) & vm
+                    parity = parity + crosses.astype(jnp.int32)
+                    # closest point on edge v -> v+1 (wrap nv-1 -> 0)
+                    if v + 1 < V:
+                        wrap = jnp.float32(v) == rnv - 1.0
+                        x2s = jnp.where(wrap, c(15),
+                                        c(15 + 2 * (v + 1)))
+                        y2s = jnp.where(wrap, c(16),
+                                        c(16 + 2 * (v + 1)))
+                    else:
+                        x2s, y2s = c(15), c(16)
+                    ex = x2s - xi
+                    ey = y2s - yi
+                    el2 = ex * ex + ey * ey
+                    tt = ((px - xi) * ex + (py - yi) * ey) \
+                        / jnp.where(el2 < 1e-16, 1e-16, el2)
+                    tt = jnp.clip(tt, 0.0, 1.0)
+                    qx = xi + tt * ex
+                    qy = yi + tt * ey
+                    qd2 = (px - qx) ** 2 + (py - qy) ** 2
+                    qd2 = jnp.where(vm & (el2 >= 1e-16), qd2, 1e30)
+                    better = qd2 < best_d2
+                    best_d2 = jnp.where(better, qd2, best_d2)
+                    cxb = jnp.where(better, qx, cxb)
+                    cyb = jnp.where(better, qy, cyb)
+                inside_p = ((parity % 2) == 1) & (rnv >= 3.0)
+                pdx = px - cxb
+                pdy = py - cyb
+                dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
+                if cn["any_circle"] and cn["any_poly"]:
+                    is_c = ric > 0
+                else:                      # uniform scenes: constant predicate,
+                    is_c = bool(cn["any_circle"])   # dead branch folds away
+                inside = in_aabb & jnp.where(is_c, inside_c, inside_p)
 
-            # ---- impulse exchange (metal:679-924) ----
-            mpen = cn["min_penetration"]
-            rb_v2 = rvxs * rvxs + rvys * rvys + rom * rom
-            ok_r = rb_v2 <= cn["max_safe_velocity_sq"]
-            pen = jnp.where(is_c,
-                            jnp.maximum(rrad - jnp.maximum(dist_c, mpen),
-                                        0.0),
-                            jnp.maximum(dist_p, mpen))
-            nrm_x = jnp.where(is_c, rx / jnp.maximum(dist_c, mpen),
-                              pdx / jnp.maximum(dist_p, mpen))
-            nrm_y = jnp.where(is_c, ry / jnp.maximum(dist_c, mpen),
-                              pdy / jnp.maximum(dist_p, mpen))
-            act = inside & ok_r & (pen >= mpen)
-            dens = jnp.where(rho > 0.0, rho, cn["rest_density"])
-            rig_vx = rvxs - rom * ry
-            rig_vy = rvys + rom * rx
-            rvx = vx1 - rig_vx
-            rvy = vy1 - rig_vy
-            depth_f = jnp.tanh(cn["depth_transition_rate"] * pen
-                               / cn["depth_scale"])
-            vn = rvx * nrm_x + rvy * nrm_y
-            tvx = rvx - nrm_x * vn
-            tvy = rvy - nrm_y * vn
-            vol = jnp.where(rho > 0, m / jnp.maximum(rho, 1e-30),
-                            m / cn["rest_density"])
-            area = jnp.abs(vol) ** (2.0 / 3.0)
-            depth = jnp.minimum(py / cn["depth_estimate_scale"], 1.0)
-            hydro = dens * cn["gravity"] * depth
-            total_p = p + hydro
-            pforce = total_p * area * depth_f
-            maxF = cn["max_force"]
-            fx = nrm_x * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
-            fy = nrm_y * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
-            tmag = jnp.sqrt(tvx * tvx + tvy * tvy)
-            hast = tmag > cn["min_rel_velocity"]
-            vforce = cn["viscosity"] * cn["viscosity_scale"] * tmag * dens \
-                * depth_f * cn["sub_dt"]
-            vcap = jnp.minimum(vforce, maxF * cn["viscous_force_ratio"])
-            fx = fx + jnp.where(hast, -tvx / jnp.maximum(tmag, 1e-30) * vcap,
-                                0.0)
-            fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap,
-                                0.0)
-            buoy = -cn["buoyancy_strength"] * pen * area * cn["gravity"] \
-                * dens
-            bfy = jnp.where(rmass > 0.1, buoy, 0.0)
-            keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= maxF
-            fy = jnp.where(keep, fy + bfy, fy)
-            fmag = jnp.sqrt(fx * fx + fy * fy)
-            fscale = jnp.where(fmag > maxF,
-                               maxF / jnp.maximum(fmag, 1e-30), 1.0)
-            fx = fx * fscale
-            fy = fy * fscale
-            tq = jnp.clip(rx * fy - ry * fx, -cn["max_torque"],
-                          cn["max_torque"])
-            spin = jnp.abs(rom) > cn["angular_damping_threshold"]
-            tq = tq - jnp.where(
-                spin, cn["angular_damping_factor"] * jnp.sign(rom)
-                * jnp.abs(rom) * rinert, 0.0)
-            fx = jnp.where(act, fx, 0.0)
-            fy = jnp.where(act, fy, 0.0)
-            tq = jnp.where(act, tq, 0.0)
-            orf[0, t, 4 * r + 0] = fx.sum()
-            orf[0, t, 4 * r + 1] = fy.sum()
-            orf[0, t, 4 * r + 2] = tq.sum()
-            orf[0, t, 4 * r + 3] = rd.astype(orf.dtype)
-            sfx = sfx + fx
-            sfy = sfy + fy
-            had_imp = had_imp | act
+                # ---- position correction (metal:533-668) ----
+                msd = cn["min_safe_distance"]
+                d_c = jnp.maximum(dist_c, msd)
+                dirx_c = jnp.where(dist_c < msd, 1.0, rx / d_c)
+                diry_c = jnp.where(dist_c < msd, 0.0, ry / d_c)
+                pen_c = (rrad - d_c) + cn["safety_margin"]
+                d_p = jnp.maximum(dist_p, msd)
+                dirx_p = jnp.where(dist_p < msd, 1.0, pdx / d_p)
+                diry_p = jnp.where(dist_p < msd, 0.0, pdy / d_p)
+                pen_p = d_p + cn["safety_margin"]
+                corr_x = jnp.where(is_c, -dirx_c * pen_c, dirx_p * pen_p)
+                corr_y = jnp.where(is_c, -diry_c * pen_c, diry_p * pen_p)
+                cacc[0] = cacc[0] + jnp.where(
+                    inside, corr_x * cn["relax_factor"], 0.0)
+                cacc[1] = cacc[1] + jnp.where(
+                    inside, corr_y * cn["relax_factor"], 0.0)
+                cacc[4] = jnp.maximum(cacc[4], inside.astype(px.dtype))
+
+                # ---- impulse exchange (metal:679-924) ----
+                mpen = cn["min_penetration"]
+                rb_v2 = rvxs * rvxs + rvys * rvys + rom * rom
+                ok_r = rb_v2 <= cn["max_safe_velocity_sq"]
+                pen = jnp.where(is_c,
+                                jnp.maximum(rrad - jnp.maximum(dist_c, mpen),
+                                            0.0),
+                                jnp.maximum(dist_p, mpen))
+                nrm_x = jnp.where(is_c, rx / jnp.maximum(dist_c, mpen),
+                                  pdx / jnp.maximum(dist_p, mpen))
+                nrm_y = jnp.where(is_c, ry / jnp.maximum(dist_c, mpen),
+                                  pdy / jnp.maximum(dist_p, mpen))
+                act = inside & ok_r & (pen >= mpen)
+                dens = jnp.where(rho > 0.0, rho, cn["rest_density"])
+                rig_vx = rvxs - rom * ry
+                rig_vy = rvys + rom * rx
+                rvx = vx1 - rig_vx
+                rvy = vy1 - rig_vy
+                depth_f = jnp.tanh(cn["depth_transition_rate"] * pen
+                                   / cn["depth_scale"])
+                vn = rvx * nrm_x + rvy * nrm_y
+                tvx = rvx - nrm_x * vn
+                tvy = rvy - nrm_y * vn
+                vol = jnp.where(rho > 0, m / jnp.maximum(rho, 1e-30),
+                                m / cn["rest_density"])
+                area = jnp.abs(vol) ** (2.0 / 3.0)
+                depth = jnp.minimum(py / cn["depth_estimate_scale"], 1.0)
+                hydro = dens * cn["gravity"] * depth
+                total_p = p + hydro
+                pforce = total_p * area * depth_f
+                maxF = cn["max_force"]
+                fx = nrm_x * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
+                fy = nrm_y * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
+                tmag = jnp.sqrt(tvx * tvx + tvy * tvy)
+                hast = tmag > cn["min_rel_velocity"]
+                vforce = cn["viscosity"] * cn["viscosity_scale"] * tmag * dens \
+                    * depth_f * cn["sub_dt"]
+                vcap = jnp.minimum(vforce, maxF * cn["viscous_force_ratio"])
+                fx = fx + jnp.where(hast, -tvx / jnp.maximum(tmag, 1e-30) * vcap,
+                                    0.0)
+                fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap,
+                                    0.0)
+                buoy = -cn["buoyancy_strength"] * pen * area * cn["gravity"] \
+                    * dens
+                bfy = jnp.where(rmass > 0.1, buoy, 0.0)
+                keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= maxF
+                fy = jnp.where(keep, fy + bfy, fy)
+                fmag = jnp.sqrt(fx * fx + fy * fy)
+                fscale = jnp.where(fmag > maxF,
+                                   maxF / jnp.maximum(fmag, 1e-30), 1.0)
+                fx = fx * fscale
+                fy = fy * fscale
+                tq = jnp.clip(rx * fy - ry * fx, -cn["max_torque"],
+                              cn["max_torque"])
+                spin = jnp.abs(rom) > cn["angular_damping_threshold"]
+                tq = tq - jnp.where(
+                    spin, cn["angular_damping_factor"] * jnp.sign(rom)
+                    * jnp.abs(rom) * rinert, 0.0)
+                fx = jnp.where(act, fx, 0.0)
+                fy = jnp.where(act, fy, 0.0)
+                tq = jnp.where(act, tq, 0.0)
+                orf[0, t, 4 * r + 0] = fx.sum()
+                orf[0, t, 4 * r + 1] = fy.sum()
+                orf[0, t, 4 * r + 2] = tq.sum()
+                orf[0, t, 4 * r + 3] = rd.astype(orf.dtype)
+                cacc[2] = cacc[2] + fx
+                cacc[3] = cacc[3] + fy
+                cacc[5] = jnp.maximum(cacc[5], act.astype(px.dtype))
 
         # ---- post-loop finalization ----
+        acx, acy = cacc[0], cacc[1]
+        sfx, sfy = cacc[2], cacc[3]
+        had_pos = cacc[4] > 0
+        had_imp = cacc[5] > 0
         # fluid back-reaction (Newton's 3rd law)
         ffx = -sfx * cn["fluid_force_scale"]
         ffy = -sfy * cn["fluid_force_scale"]
@@ -495,6 +512,8 @@ def make_coupling(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 6 + [rig_out_spec],
+        # cross-candidate accumulators (see _coupling_kernel)
+        scratch_shapes=[pltpu.VMEM((6, K, TX), dtype)],
     )
     shp = jax.ShapeDtypeStruct((ny, K, NT * TX), dtype)
     call = pl.pallas_call(
@@ -526,6 +545,13 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
     HBM round-trip; pressure is EOS(rho) inline. Scratch persists across
     sequential grid steps (TPU grids are sequential on a core).
 
+    A row slab's DMA is skipped entirely when no program will read it
+    (its whole 3-row window is empty per the prefetched occupancy table)
+    — empty grid regions, most of a tank/dam scene, then cost only the
+    branch and the zeroed output rows. Every read of a slab or rho-ring
+    row is occupancy-masked, so the stale VMEM contents of skipped slabs
+    never reach a live lane.
+
     Math is identical to _density_kernel/_force_kernel (reference:
     fluid_kernels.metal:246-403) up to float reassociation.
     """
@@ -536,26 +562,47 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
         return pltpu.make_async_copy(d_ref.at[q], slabs.at[q % 5],
                                      sems.at[q % 5])
 
+    def row_occ(r):
+        """Max occupancy of padded row r (0 outside the grid)."""
+        b = jnp.int32(0)
+        for t in range(NT):
+            b = jnp.maximum(b, rm_ref[jnp.clip(r, 0, ny + 1), t])
+        return jnp.where((r >= 0) & (r < ny + 2), b, 0)
+
+    def need(r):
+        """Slab r is read only by programs whose center row touches it."""
+        return (row_occ(r - 1) + row_occ(r) + row_occ(r + 1)) > 0
+
+    def dma_start(q):
+        @pl.when(need(q))
+        def _():
+            dma(q).start()
+
+    def dma_wait(q):
+        @pl.when(need(q))
+        def _():
+            dma(q).wait()
+
     @pl.when(j == 0)
     def _():                            # warmup: rows 0..3 in flight
-        dma(0).start()
-        dma(1).start()
-        dma(2).start()
+        dma_start(0)
+        dma_start(1)
+        dma_start(2)
         @pl.when(ny + 2 > 3)
         def _():
-            dma(3).start()
-        dma(0).wait()
-        dma(1).wait()
-        dma(2).wait()                   # compute_rho(1) reads slab 2
+            dma_start(3)
+        dma_wait(0)
+        dma_wait(1)
+        dma_wait(2)                     # compute_rho(1) reads slab 2
         rho_ring[0] = jnp.zeros((K, NTX), orho.dtype)   # apron row rho
 
     @pl.when((j + 3 < ny + 2) | (j == 0))
     def _():
-        dma(p + 2).wait()               # at j==0 this is row 3 (warmup-started)
+        dma_wait(p + 2)                 # at j==0 this is row 3 (warmup-started)
 
     @pl.when(j + 3 < ny + 1)            # j's start pairs with j+1's wait
     def _():
-        dma(p + 3).start()
+        dma_start(p + 3)
 
     FX, FY, FVX, FVY, FM, FO = range(6)
     kk2 = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
@@ -571,42 +618,69 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
             vals[:, lo + TX:lo + TX + 1]
         return jnp.concatenate([left, vals[:, lo:lo + TX], right], axis=-1)
 
+    KH = K // 2 if (K % 16 == 0) else K     # fast-path slot count (8-aligned)
+
     def compute_rho(q):
         """Poly6 density of padded row q (tiles with rm[q, t] > 0) from
-        slabs q-1..q+1; writes the rho ring slot q % 3. Full [K, K, TX]
-        broadcast (density math is too cheap to amortize a bounded fori —
-        measured on hardware)."""
+        slabs q-1..q+1; writes the rho ring slot q % 3. Full [KC, KN, TX]
+        broadcast per tile — a bounded fori is too much loop overhead for
+        the cheap per-pair math (measured), but a STATIC half-K branch
+        (both center and neighbor slot axes sliced to K/2 when the 3x3
+        window's max occupancy allows, the common case) quarters the pair
+        slots with no loop overhead."""
         sq = slabs[q % 5]
+
+        def rho_tile(t, KC, KN):
+            ts = slice(t * TX, (t + 1) * TX)
+            cx = sq[FX, :KC, ts][:, None, :]
+            cy = sq[FY, :KC, ts][:, None, :]
+            kk = jax.lax.broadcasted_iota(jnp.int32, (1, KN, 1), 1)
+            acc = jnp.zeros((KC, TX), orho.dtype)
+            for dr in (-1, 0, 1):
+                src = slabs[(q + dr) % 5]
+                exx = ext_win(src[FX, :KN], t)
+                exy = ext_win(src[FY, :KN], t)
+                exm = ext_win(src[FM, :KN], t)
+                exo = ext_win(src[FO, :KN], t)
+                live = kk < _src_bound(rm_ref, q + dr, t, NT)
+                for dx in range(3):
+                    nbx = exx[:, dx:dx + TX][None]
+                    nby = exy[:, dx:dx + TX][None]
+                    nbm = exm[:, dx:dx + TX][None]
+                    nbo = exo[:, dx:dx + TX][None]
+                    ddx = cx - nbx
+                    ddy = cy - nby
+                    r2 = ddx * ddx + ddy * ddy
+                    w = jnp.where(live & (nbo > 0) & (r2 < h2),
+                                  poly6 * (h2 - r2) ** 3, 0.0)
+                    acc = acc + (nbm * w).sum(1)
+            if KC < K:
+                acc = jnp.concatenate(
+                    [acc, jnp.zeros((K - KC, TX), orho.dtype)], axis=0)
+            rho_ring[q % 3, :, ts] = acc
+
         for t in range(NT):
+            wb = jnp.int32(0)
+            for dr in (-1, 0, 1):
+                wb = jnp.maximum(wb, _src_bound(rm_ref, q + dr, t, NT))
+
             @pl.when(rm_ref[q, t] == 0)
             def _(t=t):
                 rho_ring[q % 3, :, t * TX:(t + 1) * TX] = \
                     jnp.zeros((K, TX), orho.dtype)
 
-            @pl.when(rm_ref[q, t] > 0)
-            def _(t=t, sq=sq):
-                cx = sq[FX, :, t * TX:(t + 1) * TX][:, None, :]
-                cy = sq[FY, :, t * TX:(t + 1) * TX][:, None, :]
-                acc = jnp.zeros((K, TX), orho.dtype)
-                for dr in (-1, 0, 1):
-                    src = slabs[(q + dr) % 5]
-                    exx = ext_win(src[FX], t)
-                    exy = ext_win(src[FY], t)
-                    exm = ext_win(src[FM], t)
-                    exo = ext_win(src[FO], t)
-                    live = kk2 < _src_bound(rm_ref, q + dr, t, NT)
-                    for dx in range(3):
-                        nbx = exx[:, dx:dx + TX][None]
-                        nby = exy[:, dx:dx + TX][None]
-                        nbm = exm[:, dx:dx + TX][None]
-                        nbo = exo[:, dx:dx + TX][None]
-                        ddx = cx - nbx
-                        ddy = cy - nby
-                        r2 = ddx * ddx + ddy * ddy
-                        w = jnp.where(live & (nbo > 0) & (r2 < h2),
-                                      poly6 * (h2 - r2) ** 3, 0.0)
-                        acc = acc + (nbm * w).sum(1)
-                rho_ring[q % 3, :, t * TX:(t + 1) * TX] = acc
+            if KH < K:
+                @pl.when((rm_ref[q, t] > 0) & (wb <= KH))
+                def _(t=t):
+                    rho_tile(t, KH, KH)
+
+                @pl.when((rm_ref[q, t] > 0) & (wb > KH))
+                def _(t=t):
+                    rho_tile(t, K, K)
+            else:
+                @pl.when(rm_ref[q, t] > 0)
+                def _(t=t):
+                    rho_tile(t, K, K)
 
     @pl.when(j == 0)
     def _():
@@ -624,11 +698,73 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
     orho[0] = rho_ring[p % 3]
     CH = 8 if K % 8 == 0 else 1
     ctr = slabs[p % 5]
-    k1 = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 0)
-    kc = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 1)
 
     def eos(rho):
         return jnp.maximum(stiffness * (rho - rest_density), 0.0)
+
+    def force_tile(t, KC):
+        """Force of tile t with the center slot axis sliced to KC (all
+        occupied slots have index < rm[p, t] <= KC); the neighbor axis is
+        occupancy-bounded by the CH-chunk fori."""
+        ts = slice(t * TX, (t + 1) * TX)
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (KC, CH, 1), 0)
+        kc = jax.lax.broadcasted_iota(jnp.int32, (KC, CH, 1), 1)
+        cx = ctr[FX, :KC, ts][:, None, :]
+        cy = ctr[FY, :KC, ts][:, None, :]
+        cvx = ctr[FVX, :KC, ts][:, None, :]
+        cvy = ctr[FVY, :KC, ts][:, None, :]
+        cocc = ctr[FO, :KC, ts][:, None, :]
+        crho = rho_ring[p % 3, :KC, ts][:, None, :]
+        cp_ = eos(crho)
+        cterm = cp_ / jnp.maximum(crho * crho, 1e-30)
+        fx_a = jnp.zeros((KC, TX), outx.dtype)
+        fy_a = jnp.zeros((KC, TX), outy.dtype)
+        for dr in (-1, 0, 1):
+            bound = _src_bound(rm_ref, p + dr, t, NT)
+
+            def body(i, acc, dr=dr, t=t):
+                fxa, fya = acc
+                ch = slabs[(p + dr) % 5, :,
+                           pl.ds(i * CH, CH), :]        # [6, CH, NTX]
+                rch = rho_ring[(p + dr) % 3, pl.ds(i * CH, CH), :]
+                for dx in range(3):
+                    w_ = lambda v: ext_win(v, t)[:, dx:dx + TX][None]
+                    nbx, nby = w_(ch[FX]), w_(ch[FY])
+                    nbvx, nbvy = w_(ch[FVX]), w_(ch[FVY])
+                    nbm, nbo = w_(ch[FM]), w_(ch[FO])
+                    nbrho = w_(rch)
+                    nbp = eos(nbrho)
+                    ddx = cx - nbx
+                    ddy = cy - nby
+                    r2 = ddx * ddx + ddy * ddy
+                    ok = (cocc * nbo > 0) & (r2 >= min_d2) & (r2 < h2) \
+                        & (nbrho >= min_rho) & (crho >= min_rho)
+                    if dr == 0 and dx == 1:
+                        ok = ok & (k1 != i * CH + kc)
+                    rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
+                    term = cterm + nbp / jnp.maximum(nbrho * nbrho,
+                                                     1e-30)
+                    w_spiky = spiky * (h - rr) ** 2
+                    f_press = -nbm * term * w_spiky
+                    fx = f_press * ddx / rr
+                    fy = f_press * ddy / rr
+                    f_visc = viscosity * nbm * (
+                        visc_lap * (h - rr)
+                        / jnp.maximum(nbrho, 1e-30))
+                    fx = fx - f_visc * (cvx - nbvx)
+                    fy = fy - f_visc * (cvy - nbvy)
+                    fxa = fxa + jnp.where(ok, fx, 0.0).sum(1)
+                    fya = fya + jnp.where(ok, fy, 0.0).sum(1)
+                return fxa, fya
+
+            nit = (bound + CH - 1) // CH
+            fx_a, fy_a = jax.lax.fori_loop(0, nit, body, (fx_a, fy_a))
+        if KC < K:
+            zpad = jnp.zeros((K - KC, TX), outx.dtype)
+            fx_a = jnp.concatenate([fx_a, zpad], axis=0)
+            fy_a = jnp.concatenate([fy_a, zpad], axis=0)
+        outx[0, :, ts] = fx_a
+        outy[0, :, ts] = fy_a
 
     for t in range(NT):
         @pl.when(rm_ref[p, t] == 0)
@@ -636,60 +772,18 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
             outx[0, :, t * TX:(t + 1) * TX] = jnp.zeros((K, TX), outx.dtype)
             outy[0, :, t * TX:(t + 1) * TX] = jnp.zeros((K, TX), outy.dtype)
 
-        @pl.when(rm_ref[p, t] > 0)
-        def _(t=t):
-            cx = ctr[FX, :, t * TX:(t + 1) * TX][:, None, :]
-            cy = ctr[FY, :, t * TX:(t + 1) * TX][:, None, :]
-            cvx = ctr[FVX, :, t * TX:(t + 1) * TX][:, None, :]
-            cvy = ctr[FVY, :, t * TX:(t + 1) * TX][:, None, :]
-            cocc = ctr[FO, :, t * TX:(t + 1) * TX][:, None, :]
-            crho = rho_ring[p % 3, :, t * TX:(t + 1) * TX][:, None, :]
-            cp_ = eos(crho)
-            cterm = cp_ / jnp.maximum(crho * crho, 1e-30)
-            fx_a = jnp.zeros((K, TX), outx.dtype)
-            fy_a = jnp.zeros((K, TX), outy.dtype)
-            for dr in (-1, 0, 1):
-                bound = _src_bound(rm_ref, p + dr, t, NT)
+        if KH < K:
+            @pl.when((rm_ref[p, t] > 0) & (rm_ref[p, t] <= KH))
+            def _(t=t):
+                force_tile(t, KH)
 
-                def body(i, acc, dr=dr, t=t):
-                    fxa, fya = acc
-                    ch = slabs[(p + dr) % 5, :,
-                               pl.ds(i * CH, CH), :]        # [6, CH, NTX]
-                    rch = rho_ring[(p + dr) % 3, pl.ds(i * CH, CH), :]
-                    for dx in range(3):
-                        w_ = lambda v: ext_win(v, t)[:, dx:dx + TX][None]
-                        nbx, nby = w_(ch[FX]), w_(ch[FY])
-                        nbvx, nbvy = w_(ch[FVX]), w_(ch[FVY])
-                        nbm, nbo = w_(ch[FM]), w_(ch[FO])
-                        nbrho = w_(rch)
-                        nbp = eos(nbrho)
-                        ddx = cx - nbx
-                        ddy = cy - nby
-                        r2 = ddx * ddx + ddy * ddy
-                        ok = (cocc * nbo > 0) & (r2 >= min_d2) & (r2 < h2) \
-                            & (nbrho >= min_rho) & (crho >= min_rho)
-                        if dr == 0 and dx == 1:
-                            ok = ok & (k1 != i * CH + kc)
-                        rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
-                        term = cterm + nbp / jnp.maximum(nbrho * nbrho,
-                                                         1e-30)
-                        w_spiky = spiky * (h - rr) ** 2
-                        f_press = -nbm * term * w_spiky
-                        fx = f_press * ddx / rr
-                        fy = f_press * ddy / rr
-                        f_visc = viscosity * nbm * (
-                            visc_lap * (h - rr)
-                            / jnp.maximum(nbrho, 1e-30))
-                        fx = fx - f_visc * (cvx - nbvx)
-                        fy = fy - f_visc * (cvy - nbvy)
-                        fxa = fxa + jnp.where(ok, fx, 0.0).sum(1)
-                        fya = fya + jnp.where(ok, fy, 0.0).sum(1)
-                    return fxa, fya
-
-                nit = (bound + CH - 1) // CH
-                fx_a, fy_a = jax.lax.fori_loop(0, nit, body, (fx_a, fy_a))
-            outx[0, :, t * TX:(t + 1) * TX] = fx_a
-            outy[0, :, t * TX:(t + 1) * TX] = fy_a
+            @pl.when(rm_ref[p, t] > KH)
+            def _(t=t):
+                force_tile(t, K)
+        else:
+            @pl.when(rm_ref[p, t] > 0)
+            def _(t=t):
+                force_tile(t, K)
 
 
 def make_pair_sweep(ny: int, NT: int, K: int, h: float, poly6: float,

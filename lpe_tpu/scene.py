@@ -87,6 +87,10 @@ class SceneSpec:
     # constant-fold the dead branch away (XLA DCEs it)
     any_rigid_circle: bool = True
     any_rigid_polygon: bool = True
+    # static fact gating cross-tick grid residency (systems.build_run_fn):
+    # a liquid with a Sleep component would need fresh per-tick velocities
+    # in particle order, which a grid-resident block doesn't materialize
+    liquid_has_sleep: bool = False
     name: str = "scene"
 
     @property
@@ -234,6 +238,7 @@ class SceneBuilder:
                 (shape_kind[:ns + ng] == int(ShapeKind.CIRCLE)).any()),
             any_rigid_polygon=bool(
                 (shape_kind[:ns + ng] == int(ShapeKind.POLYGON)).any()),
+            liquid_has_sleep=bool(has_sleep[ns + ng:n].any()),
             name=self.name,
         )
 

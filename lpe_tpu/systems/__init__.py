@@ -72,13 +72,54 @@ def build_run_fn(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
     Headless/batch runs should prefer this over calling the single tick in a
     Python loop: state stays on device between ticks and the per-dispatch
     host overhead (milliseconds through a tunneled device) is amortized
-    across the block."""
-    tick = build_tick_fn(spec, cfg, jit=False, fluid_mesh=fluid_mesh,
-                         fluid_axis=fluid_axis)
+    across the block.
 
-    def run(state: SimState) -> SimState:
-        return jax.lax.scan(lambda s, _: (tick(s), None), state,
-                            None, length=ticks)[0]
+    When the fluid system runs grid-resident (TPU default) and no other
+    system needs per-tick liquid state in particle order (no Barnes-Hut,
+    no liquid Sleep), the fluid grid additionally stays resident across
+    the WHOLE block: one sort/scatter at block start, one gather-back at
+    block end, with the per-tick boundary/gravity updates applied to the
+    liquid planes in grid space (sph.py grid_boundary/grid_gravity). See
+    FluidConfig.cross_tick_residency."""
+    systems = build_system_list(spec, cfg, fluid_mesh=fluid_mesh,
+                                fluid_axis=fluid_axis)
+    sysd = dict(systems)
+    fl = sysd.get("fluid")
+    cross_tick = (getattr(fl, "grid_build", None) is not None
+                  and cfg.fluid.cross_tick_residency != "off"
+                  and "barnes_hut" not in sysd
+                  and not spec.liquid_has_sleep)
+
+    if not cross_tick:
+        def tick(state: SimState) -> SimState:
+            for name, fn in systems:
+                with jax.named_scope(name):
+                    state = fn(state)
+            return state.replace(tick=state.tick + 1)
+
+        def run(state: SimState) -> SimState:
+            return jax.lax.scan(lambda s, _: (tick(s), None), state,
+                                None, length=ticks)[0]
+    else:
+        def tick_ct(state: SimState, D):
+            for name, fn in systems:
+                with jax.named_scope(name):
+                    if name == "fluid":
+                        state, D = fl.grid_tick(state, D)
+                    else:
+                        state = fn(state)
+                        if name == "boundary":
+                            D = fl.grid_boundary(D)
+                        elif name == "gravity":
+                            D = fl.grid_gravity(state, D)
+            return state.replace(tick=state.tick + 1), D
+
+        def run(state: SimState) -> SimState:
+            D = fl.grid_build(state)
+            (state, D), _ = jax.lax.scan(
+                lambda c, _: (tick_ct(*c), None), (state, D),
+                None, length=ticks)
+            return fl.grid_readback(state, D)
 
     if jit:
         run = jax.jit(run, donate_argnums=(0,) if donate else ())

@@ -569,14 +569,29 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         traced) converts global cell rows to local interior rows; local row
         count comes from the input shapes, so banded blocks work.
 
-        Requires per-sub-step motion < 1 cell (enforced by the drift clamp in
-        the resident sub-step; coupling push-out is bounded by
-        position_solver.max_correction)."""
+        Lossless under arbitrary moves: each slot's target cell is clamped
+        to +-1 of its CURRENT cell, so a particle that moved further than
+        one cell since the last migration (a boundary-margin clamp, a large
+        coupling push-out) keeps its exact position but walks toward its
+        true cell one cell per migration (10 migrations/tick) instead of
+        falling out of the 3x3 candidate window and being dropped. While
+        mis-binned it can miss pair partners beyond its lagged 3x3
+        neighborhood — the same degradation class as the occupancy-cap
+        drop, and gone within a few sub-steps."""
         occp = Dp["occ"] > 0
         gxa = jnp.clip(jnp.floor((Dp["x"] + eps) / cell).astype(jnp.int32)
                        - gmin, 0, nx - 1)
         gya = jnp.clip(jnp.floor((Dp["y"] + eps) / cell).astype(jnp.int32)
                        - gmin, 0, ny - 1) - row_off
+        shp_p = Dp["x"].shape
+        if use_pallas:                    # padded [rows, K, nxp]
+            rowg = jax.lax.broadcasted_iota(jnp.int32, shp_p, 0) - 1
+            colg = jax.lax.broadcasted_iota(jnp.int32, shp_p, 2) - 1
+        else:                             # padded [rows, nxp, K]
+            rowg = jax.lax.broadcasted_iota(jnp.int32, shp_p, 0) - 1
+            colg = jax.lax.broadcasted_iota(jnp.int32, shp_p, 1) - 1
+        gxa = jnp.clip(gxa, colg - 1, colg + 1)
+        gya = jnp.clip(gya, rowg - 1, rowg + 1)
         pgx = jnp.where(occp, gxa, -9)    # empty slots never match
         pgy = jnp.where(occp, gya, -9)
         dt_ = Dp["x"].dtype
@@ -986,61 +1001,58 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         return _finalize(state, cr["x"], cr["y"], cr["vx"], cr["vy"],
                          cr["rho"], cr["pres"], cr["Fx"], cr["Fy"], cr["Tq"])
 
-    def _finalize(state, xn, yn, vxn, vyn, rhon, presn, Fx, Fy, Tq):
+    def _finalize_rigid(state, Fx, Fy, Tq):
+        """Rigid velocity write-back, once per tick (fluid.cpp:526-580)."""
+        if NR == 0:
+            return state
+        b = state.bodies
+        rm = b.mass[:NR]
+        ri = b.inertia[:NR]
+        inv_m = jnp.where(rm > 1e-12, 1.0 / rm, 0.0)
+        inv_i = jnp.where(ri > 1e-12, 1.0 / ri, 0.0)
+        damp = fc.damping_factor
+        rvx = (b.vel[:NR, 0] + Fx * inv_m) * damp
+        rvy = (b.vel[:NR, 1] + Fy * inv_m) * damp
+        rom = (b.omega[:NR] + Tq * inv_i) * damp
+        vel = b.vel.at[:NR, 0].set(rvx).at[:NR, 1].set(rvy)
+        omega = b.omega.at[:NR].set(rom)
+        return state.replace(bodies=b.replace(vel=vel, omega=omega))
+
+    def _finalize_liquid(state, xn, yn, vxn, vyn, rhon, presn):
         b = state.bodies
         pos = b.pos.at[L0:L0 + NL, 0].set(xn).at[L0:L0 + NL, 1].set(yn)
         vel = b.vel.at[L0:L0 + NL, 0].set(vxn).at[L0:L0 + NL, 1].set(vyn)
         density = b.density.at[L0:L0 + NL].set(rhon)
         pressure = b.pressure.at[L0:L0 + NL].set(presn)
-
-        if NR > 0:
-            # rigid velocity write-back, once per tick (fluid.cpp:526-580)
-            rm = b.mass[:NR]
-            ri = b.inertia[:NR]
-            inv_m = jnp.where(rm > 1e-12, 1.0 / rm, 0.0)
-            inv_i = jnp.where(ri > 1e-12, 1.0 / ri, 0.0)
-            damp = fc.damping_factor
-            rvx = (b.vel[:NR, 0] + Fx * inv_m) * damp
-            rvy = (b.vel[:NR, 1] + Fy * inv_m) * damp
-            rom = (b.omega[:NR] + Tq * inv_i) * damp
-            vel = vel.at[:NR, 0].set(rvx).at[:NR, 1].set(rvy)
-            omega = b.omega.at[:NR].set(rom)
-        else:
-            omega = b.omega
-
         return state.replace(bodies=b.replace(
-            pos=pos, vel=vel, omega=omega, density=density, pressure=pressure))
+            pos=pos, vel=vel, density=density, pressure=pressure))
 
-    def step_resident(state: SimState) -> SimState:
-        """Grid-resident tick: one sort/scatter at build, dense migration per
-        sub-step, one gather-back at tick end. See the resident-mode comment
-        block above for the design rationale."""
+    def _finalize(state, xn, yn, vxn, vyn, rhon, presn, Fx, Fy, Tq):
+        return _finalize_liquid(_finalize_rigid(state, Fx, Fy, Tq),
+                                xn, yn, vxn, vyn, rhon, presn)
+
+    def _grid_build(state: SimState):
+        """Sort+scatter the liquid slice into the dense grid (once per
+        tick — or once per dispatch BLOCK under cross-tick residency)."""
         b = state.bodies
         x = b.pos[L0:L0 + NL, 0]
         y = b.pos[L0:L0 + NL, 1]
-        vx = b.vel[L0:L0 + NL, 0]
-        vy = b.vel[L0:L0 + NL, 1]
-        mass = b.mass[L0:L0 + NL]
-        R = _rigid_proxies(b, NR, spec.max_rigid_verts) if NR > 0 else None
-
         idf = jnp.arange(1, NL + 1, dtype=x.dtype)     # 0 = empty slot
         grid = build_grid(x, y, clamp=True)
-        D0 = to_dense(grid, dict(x=x, y=y, vx=vx, vy=vy, m=mass, id=idf,
-                                 occ=jnp.ones_like(x)))
+        D0 = to_dense(grid, dict(
+            x=x, y=y, vx=b.vel[L0:L0 + NL, 0], vy=b.vel[L0:L0 + NL, 1],
+            m=b.mass[L0:L0 + NL], id=idf, occ=jnp.ones_like(x)))
         zd = jnp.zeros_like(D0["x"])
-        D0 = dict(D0, hx=zd, hy=zd, ax=zd, ay=zd, rho=zd, p=zd)
-        carry0 = dict(D=D0,
-                      Fx=jnp.zeros((max(NR, 1),), x.dtype),
-                      Fy=jnp.zeros((max(NR, 1),), x.dtype),
-                      Tq=jnp.zeros((max(NR, 1),), x.dtype))
+        return dict(D0, hx=zd, hy=zd, ax=zd, ay=zd, rho=zd, p=zd)
 
-        import os
-        _ablate = os.environ.get("LPE_SPH_ABLATE", "")  # perf triage only
-        # drift clamp: migration handles at most 1-cell moves per sub-step;
-        # drift + coupling push-out (<= psv.max_correction) must stay under
-        # one cell width. 0.45*cell/sub_dt is a ~65 m/s cap at defaults —
-        # far beyond the reference's own velocity-explosion guards.
-        lim = 0.45 * cell
+    # drift clamp: migration handles at most 1-cell moves per sub-step;
+    # drift + coupling push-out (<= psv.max_correction) must stay under
+    # one cell width. 0.45*cell/sub_dt is a ~65 m/s cap at defaults —
+    # far beyond the reference's own velocity-explosion guards.
+    _RES_LIM = 0.45 * cell
+
+    def _make_res_substep(R, rig_tab, cand_tab, _ablate):
+        lim = _RES_LIM
 
         def substep(_, cr):
             D = cr["D"]
@@ -1053,8 +1065,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             y1 = jnp.where(occm, D["y"] + jnp.clip(vhy * sub_dt, -lim, lim),
                            0.0)
             if _ablate == "integrate":
+                z = jnp.zeros_like(x1)
                 return dict(cr, D=dict(D, x=x1, y=y1, vx=vhx, vy=vhy,
-                                       ax=zd, ay=zd))
+                                       ax=z, ay=z))
             with jax.named_scope("migrate"):
                 Dn = _migrate(dict(x=x1, y=y1, vx=D["vx"], vy=D["vy"],
                                    hx=vhx, hy=vhy, m=D["m"], id=D["id"],
@@ -1125,79 +1138,42 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
                         Tq=cr["Tq"] + dTq)
 
+        return substep
+
+    def _grid_tick(state: SimState, D):
+        """One fluid tick on the resident grid: sub-steps + the per-tick
+        rigid velocity write-back. Accelerations reset at tick start (the
+        reference zero-inits acc on every particle gather,
+        fluid.cpp:250-302), so a carried-over grid reproduces the per-tick
+        build exactly up to slot order."""
+        import os
+        _ablate = os.environ.get("LPE_SPH_ABLATE", "")  # perf triage only
+        R = _rigid_proxies(state.bodies, NR, spec.max_rigid_verts) \
+            if NR > 0 else None
+        rig_tab = cand_tab = None
         if use_cpl_kernel:
             rig_tab = _rigid_table(R)
             cand_tab = _cand_rows(R, ny + 2)
-
-        if use_fused and _ablate == "":
-            # Whole-substep fused kernel: the carry is the 9-plane row
-            # stack itself — per sub-step XLA does only the (tiny) tile
-            # occupancy bound, the kernel, and (if rigids) the coupling
-            # kernel + plane restack. Physics identical to the substep
-            # body above up to float reassociation.
-            D9 = _d9_stack(D0)
-            shp2 = (ny + 2, 2) + D9.shape[2:]
-            carryf = dict(D9=D9, rm=_tile_bounds_t(D9[:, 8]),
-                          RP=jnp.zeros(shp2, D9.dtype),
-                          Fx=carry0["Fx"], Fy=carry0["Fy"],
-                          Tq=carry0["Tq"])
-
-            def substep_f(_, cr):
-                D9n, RP = _pl_fused(cr["rm"], cr["D9"])
-                rmn = _tile_bounds_t(D9n[:, 8])
-                if NR == 0:
-                    return dict(cr, D9=D9n, rm=rmn, RP=RP)
-                D10 = jnp.stack([
-                    D9n[:, 0], D9n[:, 1], D9n[:, 2], D9n[:, 3],
-                    RP[:, 0], RP[:, 1], D9n[:, 6], D9n[:, 8],
-                    D9n[:, 4], D9n[:, 5]])
-                cpl2 = _cpl_mask(rmn, R)
-                outs = _pl_couple(cpl2, cand_tab, rig_tab, D10)
-                prow_t = lambda v: jnp.pad(v, ((1, 1), (0, 0), (0, 0)))
-                x2, y2, vx2, vy2, ax2, ay2 = [prow_t(o) for o in outs[:6]]
-                off = fc.grid.boundary_offset
-                x2 = jnp.where(x2 < 0.0, off, x2)
-                y2 = jnp.where(y2 < 0.0, off, y2)
-                pr = outs[6].reshape(-1, 4)
-                ids = jnp.round(pr[:, 3]).astype(jnp.int32)
-                acc = jnp.zeros((NR + 1, 3), pr.dtype).at[ids].add(
-                    pr[:, :3], mode="drop")
-                D9c = jnp.stack([x2, y2, vx2, vy2, ax2, ay2, D9n[:, 6],
-                                 D9n[:, 7], D9n[:, 8]], axis=1)
-                return dict(D9=D9c, rm=rmn, RP=RP,
-                            Fx=cr["Fx"] + acc[:NR, 0],
-                            Fy=cr["Fy"] + acc[:NR, 1],
-                            Tq=cr["Tq"] + acc[:NR, 2])
-
-            crf = jax.lax.fori_loop(0, fc.num_sub_steps, substep_f, carryf)
-            D9f, RPf = crf["D9"], crf["RP"]
-            flat_idf = jnp.round(D9f[:, 7].reshape(-1)).astype(jnp.int32)
-            occ_f = D9f[:, 8].reshape(-1) > 0
-            Sf = flat_idf.shape[0]
-            tgtf = jnp.where(occ_f, flat_idf - 1, NL)
-            slotf = jnp.full((NL + 1,), -1, jnp.int32).at[tgtf].set(
-                jnp.arange(Sf, dtype=jnp.int32), mode="drop")[:NL]
-            maskf = slotf >= 0
-            gif = jnp.clip(slotf, 0)
-
-            def rbf(fld, old):
-                return jnp.where(maskf, fld.reshape(-1)[gif], old)
-
-            return _finalize(
-                state,
-                rbf(D9f[:, 0], x), rbf(D9f[:, 1], y),
-                rbf(D9f[:, 2], vx), rbf(D9f[:, 3], vy),
-                rbf(RPf[:, 0], b.density[L0:L0 + NL]),
-                rbf(RPf[:, 1], b.pressure[L0:L0 + NL]),
-                crf["Fx"], crf["Fy"], crf["Tq"])
-
+        zd = jnp.zeros_like(D["x"])
+        dt_ = D["x"].dtype
+        carry0 = dict(D=dict(D, ax=zd, ay=zd),
+                      Fx=jnp.zeros((max(NR, 1),), dt_),
+                      Fy=jnp.zeros((max(NR, 1),), dt_),
+                      Tq=jnp.zeros((max(NR, 1),), dt_))
+        substep = _make_res_substep(R, rig_tab, cand_tab, _ablate)
         cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
-        D = cr["D"]
+        return _finalize_rigid(state, cr["Fx"], cr["Fy"], cr["Tq"]), cr["D"]
 
-        # gather back to particle order (once per tick). Particles dropped by
-        # cell overflow (rank >= K at build or migration) are frozen for the
-        # tick — the scatter path instead integrates them ballistically; both
-        # only differ in the overflow regime the reference also degrades in.
+    def _grid_readback(state: SimState, D):
+        """Gather liquid state back to particle order. Particles dropped by
+        cell overflow (rank >= K at build or migration) are frozen for the
+        block — the scatter path instead integrates them ballistically; both
+        only differ in the overflow regime the reference also degrades in."""
+        b = state.bodies
+        x = b.pos[L0:L0 + NL, 0]
+        y = b.pos[L0:L0 + NL, 1]
+        vx = b.vel[L0:L0 + NL, 0]
+        vy = b.vel[L0:L0 + NL, 1]
         S = D["x"].size
         flat_id = jnp.round(D["id"].reshape(-1)).astype(jnp.int32)
         occf = D["occ"].reshape(-1) > 0
@@ -1210,16 +1186,162 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         def readback(fld, old):
             return jnp.where(res_mask, fld.reshape(-1)[gi], old)
 
-        return _finalize(
+        return _finalize_liquid(
             state,
             readback(D["x"], x), readback(D["y"], y),
             readback(D["vx"], vx), readback(D["vy"], vy),
             readback(D["rho"], b.density[L0:L0 + NL]),
-            readback(D["p"], b.pressure[L0:L0 + NL]),
-            cr["Fx"], cr["Fy"], cr["Tq"])
+            readback(D["p"], b.pressure[L0:L0 + NL]))
+
+    # ------------------------------------------------------------------
+    # Grid-space per-tick systems for cross-tick residency: the boundary
+    # bounce and uniform gravity are the only reference systems that touch
+    # liquid state between fluid ticks (movement/rotation/sleep skip or
+    # no-op on liquids); build_run_fn applies these to the resident planes
+    # so the grid can stay device-resident across a whole dispatch block.
+    # ------------------------------------------------------------------
+    _bc = cfg.boundary
+    _b_margin = _bc.margin_pixels * cfg.shared.meters_per_pixel
+
+    def _grid_boundary(D):
+        """make_boundary's clamp+bounce on the liquid planes (occ-masked;
+        liquids never sleep — gated by spec.liquid_has_sleep upstream).
+        The full margin clamp can move a particle several cells; _migrate's
+        target walk keeps it resident while it re-bins over the next few
+        sub-steps. reference: src/systems/boundary.cpp:13-71."""
+        occm = D["occ"] > 0
+        x, y, vx, vy = D["x"], D["y"], D["vx"], D["vy"]
+        lo, hi = _b_margin, size - _b_margin
+        hit_l = x < lo
+        hit_r = (~hit_l) & (x > hi)
+        x2 = jnp.clip(x, lo, hi)
+        vx2 = jnp.where(hit_l, jnp.abs(vx) * _bc.bounce_damping,
+                        jnp.where(hit_r, -jnp.abs(vx) * _bc.bounce_damping,
+                                  vx))
+        hit_t = y < lo
+        hit_b = (~hit_t) & (y > hi)
+        y2 = jnp.clip(y, lo, hi)
+        vy2 = jnp.where(hit_t, jnp.abs(vy) * _bc.bounce_damping,
+                        jnp.where(hit_b, -jnp.abs(vy) * _bc.bounce_damping,
+                                  vy))
+        bounced = hit_l | hit_r | hit_t | hit_b
+        speed = jnp.sqrt(vx2 * vx2 + vy2 * vy2)
+        scale = jnp.where(bounced & (speed > _bc.max_speed),
+                          _bc.max_speed / jnp.maximum(speed, 1e-30), 1.0)
+        m = occm & bounced
+        return dict(D,
+                    x=jnp.where(m, x2, x), y=jnp.where(m, y2, y),
+                    vx=jnp.where(m, vx2 * scale, vx),
+                    vy=jnp.where(m, vy2 * scale, vy))
+
+    _g_accel = cfg.gravity.gravitational_acceleration
+    _g_base_dt = cfg.shared.seconds_per_tick
+
+    def _grid_gravity(state, D):
+        """make_gravity's uniform pull on the liquid planes.
+        reference: src/systems/gravity.cpp:19-59."""
+        dt = _g_base_dt * state.base_time_accel * state.time_scale
+        vy = jnp.where(D["occ"] > 0, D["vy"] + _g_accel * dt, D["vy"])
+        return dict(D, vy=vy)
+
+    def step_resident(state: SimState) -> SimState:
+        """Grid-resident tick: one sort/scatter at build, dense migration per
+        sub-step, one gather-back at tick end. See the resident-mode comment
+        block above for the design rationale."""
+        import os
+        _ablate = os.environ.get("LPE_SPH_ABLATE", "")  # perf triage only
+        if not (use_fused and _ablate == ""):
+            D0 = _grid_build(state)
+            state2, D = _grid_tick(state, D0)
+            return _grid_readback(state2, D)
+
+        b = state.bodies
+        x = b.pos[L0:L0 + NL, 0]
+        y = b.pos[L0:L0 + NL, 1]
+        vx = b.vel[L0:L0 + NL, 0]
+        vy = b.vel[L0:L0 + NL, 1]
+        R = _rigid_proxies(b, NR, spec.max_rigid_verts) if NR > 0 else None
+        D0 = _grid_build(state)
+        carry0 = dict(Fx=jnp.zeros((max(NR, 1),), x.dtype),
+                      Fy=jnp.zeros((max(NR, 1),), x.dtype),
+                      Tq=jnp.zeros((max(NR, 1),), x.dtype))
+        if use_cpl_kernel:
+            rig_tab = _rigid_table(R)
+            cand_tab = _cand_rows(R, ny + 2)
+
+        # Whole-substep fused kernel: the carry is the 9-plane row
+        # stack itself — per sub-step XLA does only the (tiny) tile
+        # occupancy bound, the kernel, and (if rigids) the coupling
+        # kernel + plane restack. Physics identical to the substep
+        # body above up to float reassociation.
+        D9 = _d9_stack(D0)
+        shp2 = (ny + 2, 2) + D9.shape[2:]
+        carryf = dict(D9=D9, rm=_tile_bounds_t(D9[:, 8]),
+                      RP=jnp.zeros(shp2, D9.dtype),
+                      Fx=carry0["Fx"], Fy=carry0["Fy"],
+                      Tq=carry0["Tq"])
+
+        def substep_f(_, cr):
+            D9n, RP = _pl_fused(cr["rm"], cr["D9"])
+            rmn = _tile_bounds_t(D9n[:, 8])
+            if NR == 0:
+                return dict(cr, D9=D9n, rm=rmn, RP=RP)
+            D10 = jnp.stack([
+                D9n[:, 0], D9n[:, 1], D9n[:, 2], D9n[:, 3],
+                RP[:, 0], RP[:, 1], D9n[:, 6], D9n[:, 8],
+                D9n[:, 4], D9n[:, 5]])
+            cpl2 = _cpl_mask(rmn, R)
+            outs = _pl_couple(cpl2, cand_tab, rig_tab, D10)
+            prow_t = lambda v: jnp.pad(v, ((1, 1), (0, 0), (0, 0)))
+            x2, y2, vx2, vy2, ax2, ay2 = [prow_t(o) for o in outs[:6]]
+            off = fc.grid.boundary_offset
+            x2 = jnp.where(x2 < 0.0, off, x2)
+            y2 = jnp.where(y2 < 0.0, off, y2)
+            pr = outs[6].reshape(-1, 4)
+            ids = jnp.round(pr[:, 3]).astype(jnp.int32)
+            acc = jnp.zeros((NR + 1, 3), pr.dtype).at[ids].add(
+                pr[:, :3], mode="drop")
+            D9c = jnp.stack([x2, y2, vx2, vy2, ax2, ay2, D9n[:, 6],
+                             D9n[:, 7], D9n[:, 8]], axis=1)
+            return dict(D9=D9c, rm=rmn, RP=RP,
+                        Fx=cr["Fx"] + acc[:NR, 0],
+                        Fy=cr["Fy"] + acc[:NR, 1],
+                        Tq=cr["Tq"] + acc[:NR, 2])
+
+        crf = jax.lax.fori_loop(0, fc.num_sub_steps, substep_f, carryf)
+        D9f, RPf = crf["D9"], crf["RP"]
+        flat_idf = jnp.round(D9f[:, 7].reshape(-1)).astype(jnp.int32)
+        occ_f = D9f[:, 8].reshape(-1) > 0
+        Sf = flat_idf.shape[0]
+        tgtf = jnp.where(occ_f, flat_idf - 1, NL)
+        slotf = jnp.full((NL + 1,), -1, jnp.int32).at[tgtf].set(
+            jnp.arange(Sf, dtype=jnp.int32), mode="drop")[:NL]
+        maskf = slotf >= 0
+        gif = jnp.clip(slotf, 0)
+
+        def rbf(fld, old):
+            return jnp.where(maskf, fld.reshape(-1)[gif], old)
+
+        return _finalize(
+            state,
+            rbf(D9f[:, 0], x), rbf(D9f[:, 1], y),
+            rbf(D9f[:, 2], vx), rbf(D9f[:, 3], vy),
+            rbf(RPf[:, 0], b.density[L0:L0 + NL]),
+            rbf(RPf[:, 1], b.pressure[L0:L0 + NL]),
+            crf["Fx"], crf["Fy"], crf["Tq"])
 
     if mesh is None:
-        return step_resident if use_resident else step
+        if use_resident:
+            # cross-tick residency hooks (consumed by systems.build_run_fn;
+            # the fused backend keeps its own self-contained tick)
+            if not use_fused:
+                step_resident.grid_build = _grid_build
+                step_resident.grid_tick = _grid_tick
+                step_resident.grid_readback = _grid_readback
+                step_resident.grid_boundary = _grid_boundary
+                step_resident.grid_gravity = _grid_gravity
+            return step_resident
+        return step
 
     # ------------------------------------------------------------------
     # Row-band spatial sharding (multi-chip): each device owns ny/ND
