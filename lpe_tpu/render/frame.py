@@ -52,7 +52,17 @@ def _box_blur5(img):
     return rw(img) / rw(ones)
 
 
-def _fluid_layer(state, spec, H, W, mpp):
+# Above this liquid count the per-particle 21x21 scatter splat (NL*441
+# scatter-adds — indexed-op bound at ~60-100M elem/s on TPU) switches to a
+# bilinear deposit (NL*4 scatter-adds) + one dense 21x21 convolution with the
+# poly6 disc (~160M MACs at 600^2 — VPU/MXU work). The conv path samples the
+# kernel at pixel-center offsets via the deposit's bilinear weights: after the
+# two 5x5 blurs + max-normalize + smoothstep the <=half-pixel difference is
+# invisible, and the exact path stays the default for reference-sized scenes.
+_SPLAT_CONV_MIN_NL = 8192
+
+
+def _fluid_layer(state, spec, H, W, mpp, splat="auto"):
     """Density splat -> blur x2 -> normalize -> smoothstep alpha. [H,W] f32."""
     L0, NL = spec.liquid_start, spec.n_liquid
     pos = state.bodies.pos[L0:L0 + NL] / mpp            # pixel coords
@@ -60,6 +70,31 @@ def _fluid_layer(state, spec, H, W, mpp):
     h2 = h * h
     R = int(h) + 1
     win = 2 * R + 1
+    if splat == "conv" or (splat == "auto" and NL >= _SPLAT_CONV_MIN_NL):
+        # bilinear deposit: pixel i's center sits at i + 0.5
+        u = pos[:, 0] - 0.5
+        v = pos[:, 1] - 0.5
+        i0 = jnp.floor(u).astype(jnp.int32)
+        j0 = jnp.floor(v).astype(jnp.int32)
+        fu = u - i0.astype(pos.dtype)
+        fv = v - j0.astype(pos.dtype)
+        imp = jnp.zeros((H * W + 1,), pos.dtype)
+        for di, dj, wgt in ((0, 0, (1 - fu) * (1 - fv)),
+                            (1, 0, fu * (1 - fv)),
+                            (0, 1, (1 - fu) * fv),
+                            (1, 1, fu * fv)):
+            xi = i0 + di
+            yj = j0 + dj
+            ok = (xi >= 0) & (xi < W) & (yj >= 0) & (yj < H)
+            idx = jnp.where(ok, yj * W + xi, H * W)
+            imp = imp.at[idx].add(wgt, mode="drop")
+        d = jnp.arange(-R, R + 1, dtype=pos.dtype)
+        r2k = d[:, None] ** 2 + d[None, :] ** 2
+        kern = jnp.where(r2k < h2, (h2 - r2k) ** 3, 0.0)
+        img = jax.lax.conv_general_dilated(
+            imp[:H * W].reshape(1, 1, H, W), kern[None, None],
+            window_strides=(1, 1), padding="SAME")[0, 0]
+        return _fluid_post(img)
     ox = jnp.floor(pos[:, 0]).astype(jnp.int32) - R
     oy = jnp.floor(pos[:, 1]).astype(jnp.int32) - R
     d = jnp.arange(win)
@@ -78,7 +113,11 @@ def _fluid_layer(state, spec, H, W, mpp):
     flat_idx = jnp.where(ok, fy * W + fx, H * W)
     grid = jnp.zeros((H * W + 1,), pos.dtype)
     grid = grid.at[flat_idx.reshape(-1)].add(w.reshape(-1), mode="drop")
-    img = grid[:H * W].reshape(H, W)
+    return _fluid_post(grid[:H * W].reshape(H, W))
+
+
+def _fluid_post(img):
+    """Shared splat postprocess: blur x2 -> max-normalize -> smoothstep."""
     img = _box_blur5(_box_blur5(img))
     max_d = jnp.max(img)
     img = jnp.where(max_d > 1e-12, img / jnp.maximum(max_d, 1e-12), 0.0)
@@ -88,12 +127,44 @@ def _fluid_layer(state, spec, H, W, mpp):
     return t * t * (3.0 - 2.0 * t)                       # smoothstep alpha
 
 
-def _shape_masks(state, spec, idx0, count, H, W, mpp, chunk=8):
-    """Rasterize shapes [idx0:idx0+count] -> per-pixel (covered, color).
+# Above this shape count the painter's fori_loop (count sequential
+# full-screen rasterizations) switches to the windowed priority scatter
+# below when the scene provides a static shape-size bound.
+_RASTER_WINDOW_MIN_COUNT = 256
 
-    Scans shapes in chunks under fori_loop; later shapes paint over earlier
-    ones (painter's order, same as the reference draw loop).
-    """
+
+def _inside_shape(b, k, xpix, ypix, mpp):
+    """Pixel coverage of entity k on broadcastable pixel-center grids
+    (xpix/ypix in pixel units). Circle or convex polygon, active-gated."""
+    px = b.pos[k, 0] / mpp
+    py = b.pos[k, 1] / mpp
+    dx = xpix - px
+    dy = ypix - py
+    is_circle = b.shape_kind[k] == int(ShapeKind.CIRCLE)
+    rpx = jnp.maximum(b.radius[k] / mpp, 1.0)
+    in_circle = dx * dx + dy * dy <= rpx * rpx
+    # convex polygon: inside iff on one side of every (valid) edge
+    c, s = jnp.cos(b.angle[k]), jnp.sin(b.angle[k])
+    v = b.verts[k]                                  # [V,2] meters, local
+    wx = (b.pos[k, 0] + v[:, 0] * c - v[:, 1] * s) / mpp
+    wy = (b.pos[k, 1] + v[:, 0] * s + v[:, 1] * c) / mpp
+    nv = b.nverts[k]
+    vi = jnp.arange(MAX_POLY_VERTS)
+    nxt = jnp.where(vi + 1 >= nv, 0, vi + 1)
+    ex = wx[nxt] - wx
+    ey = wy[nxt] - wy
+    # cross(edge, p - v_i) sign test per edge, only valid edges count
+    crossv = (ex[:, None, None] * (ypix[None] - wy[:, None, None]) -
+              ey[:, None, None] * (xpix[None] - wx[:, None, None]))
+    vmask = (vi < nv)[:, None, None]
+    all_pos = jnp.where(vmask, crossv >= 0, True).all(0)
+    all_neg = jnp.where(vmask, crossv <= 0, True).all(0)
+    in_poly = (all_pos | all_neg) & (nv >= 3)
+    return jnp.where(is_circle, in_circle, in_poly) & b.active[k]
+
+
+def _shape_masks_loop(state, idx0, count, H, W, mpp):
+    """Sequential painter's rasterization (reference draw-loop order)."""
     b = state.bodies
     ypix = (jnp.arange(H, dtype=b.pos.dtype) + 0.5)[:, None]
     xpix = (jnp.arange(W, dtype=b.pos.dtype) + 0.5)[None, :]
@@ -101,31 +172,7 @@ def _shape_masks(state, spec, idx0, count, H, W, mpp, chunk=8):
     def raster_one(i, canvas):
         color_img, alpha_img = canvas
         k = idx0 + i
-        px = b.pos[k, 0] / mpp
-        py = b.pos[k, 1] / mpp
-        dx = xpix - px
-        dy = ypix - py
-        is_circle = b.shape_kind[k] == int(ShapeKind.CIRCLE)
-        rpx = jnp.maximum(b.radius[k] / mpp, 1.0)
-        in_circle = dx * dx + dy * dy <= rpx * rpx
-        # convex polygon: inside iff left of every (CCW screen-coords) edge
-        c, s = jnp.cos(b.angle[k]), jnp.sin(b.angle[k])
-        v = b.verts[k]                                  # [V,2] meters, local
-        wx = (b.pos[k, 0] + v[:, 0] * c - v[:, 1] * s) / mpp
-        wy = (b.pos[k, 1] + v[:, 0] * s + v[:, 1] * c) / mpp
-        nv = b.nverts[k]
-        vi = jnp.arange(MAX_POLY_VERTS)
-        nxt = jnp.where(vi + 1 >= nv, 0, vi + 1)
-        ex = wx[nxt] - wx
-        ey = wy[nxt] - wy
-        # cross(edge, p - v_i) sign test per edge, only valid edges count
-        crossv = (ex[:, None, None] * (ypix - wy[:, None, None]) -
-                  ey[:, None, None] * (xpix - wx[:, None, None]))
-        vmask = (vi < nv)[:, None, None]
-        all_pos = jnp.where(vmask, crossv >= 0, True).all(0)
-        all_neg = jnp.where(vmask, crossv <= 0, True).all(0)
-        in_poly = (all_pos | all_neg) & (nv >= 3)
-        inside = jnp.where(is_circle, in_circle, in_poly) & b.active[k]
+        inside = _inside_shape(b, k, xpix, ypix, mpp)
         col = b.color[k].astype(jnp.float32)
         color_img = jnp.where(inside[:, :, None], col[None, None, :],
                               color_img)
@@ -137,6 +184,77 @@ def _shape_masks(state, spec, idx0, count, H, W, mpp, chunk=8):
     if count == 0:
         return color0, alpha0
     return jax.lax.fori_loop(0, count, raster_one, (color0, alpha0))
+
+
+def _shape_masks_windowed(state, spec, idx0, count, H, W, mpp, WR):
+    """Large-count rasterizer: each non-"big" shape tests coverage only in
+    its own (2*WR+1)^2 pixel window (vmapped — one dense pass instead of
+    ``count`` sequential full-screen ones), then a priority scatter-max of
+    entity indices reproduces exact painter's order (highest index wins,
+    same as the reference's draw loop). The few oversized solids (walls,
+    spec.solid_big_idx) rasterize full-screen into the same priority image,
+    so ordering across big/small is exact too."""
+    b = state.bodies
+    WIN = 2 * WR + 1
+    big = spec.solid_big_idx
+    big_set = set(big)
+    d = jnp.arange(WIN)
+
+    def window_one(k):
+        ox = jnp.floor(b.pos[k, 0] / mpp).astype(jnp.int32) - WR
+        oy = jnp.floor(b.pos[k, 1] / mpp).astype(jnp.int32) - WR
+        gx = ox + d                                     # [WIN]
+        gy = oy + d
+        xc = (gx.astype(b.pos.dtype) + 0.5)[None, :]    # [1, WIN]
+        yc = (gy.astype(b.pos.dtype) + 0.5)[:, None]    # [WIN, 1]
+        inside = _inside_shape(b, k, xc, yc, mpp)       # [WIN, WIN]
+        ok = inside & (gx >= 0)[None, :] & (gx < W)[None, :] \
+            & (gy >= 0)[:, None] & (gy < H)[:, None]
+        return jnp.where(ok, gy[:, None] * W + gx[None, :], H * W)
+
+    ks = idx0 + jnp.arange(count)
+    # big shapes can exceed the window: exclude them here (priority 0
+    # never wins), paint them full-screen below
+    is_big = jnp.zeros((count,), bool)
+    if big:
+        bi = [i - idx0 for i in big if idx0 <= i < idx0 + count]
+        if bi:
+            is_big = is_big.at[jnp.asarray(bi)].set(True)
+    flat = jax.vmap(window_one)(ks)                     # [count, WIN, WIN]
+    prio_v = jnp.where(is_big, 0, ks + 1).astype(jnp.int32)
+    prio_full = jnp.broadcast_to(prio_v[:, None, None], flat.shape)
+    prio = jnp.zeros((H * W + 1,), jnp.int32).at[flat.reshape(-1)].max(
+        prio_full.reshape(-1), mode="drop")[:H * W].reshape(H, W)
+
+    if big:
+        ypix = (jnp.arange(H, dtype=b.pos.dtype) + 0.5)[:, None]
+        xpix = (jnp.arange(W, dtype=b.pos.dtype) + 0.5)[None, :]
+        for k in sorted(big_set):
+            if not (idx0 <= k < idx0 + count):
+                continue
+            inside = _inside_shape(b, k, xpix, ypix, mpp)
+            prio = jnp.where(inside, jnp.maximum(prio, k + 1), prio)
+
+    covered = prio > 0
+    winner = jnp.clip(prio - 1, 0)
+    color_img = jnp.where(covered[:, :, None],
+                          b.color[winner].astype(jnp.float32),
+                          0.0)
+    return color_img, covered.astype(jnp.float32)
+
+
+def _shape_masks(state, spec, idx0, count, H, W, mpp):
+    """Rasterize shapes [idx0:idx0+count] -> per-pixel (color, covered),
+    later shapes painting over earlier ones (reference draw-loop order).
+    Dispatches to the windowed priority rasterizer for large solid counts
+    when the scene's static size bound keeps windows small."""
+    if count >= _RASTER_WINDOW_MIN_COUNT and idx0 == spec.solid_start \
+            and count == spec.n_solid and spec.solid_cell_size > 0:
+        WR = int(spec.solid_cell_size / (2.0 * mpp)) + 2
+        if 2 * WR + 1 <= 96:
+            return _shape_masks_windowed(state, spec, idx0, count, H, W,
+                                         mpp, WR)
+    return _shape_masks_loop(state, idx0, count, H, W, mpp)
 
 
 def _debug_overlays(state, spec, img, H, W, mpp):
@@ -187,7 +305,7 @@ def _debug_overlays(state, spec, img, H, W, mpp):
 def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
                   width: int = 600, height: int = 600,
                   color_scheme: int = SCHEME_DEFAULT, jit: bool = True,
-                  debug: bool = False):
+                  debug: bool = False, splat: str = "auto"):
     mpp = cfg.shared.meters_per_pixel * (600.0 / width)
     H, W = height, width
 
@@ -196,7 +314,7 @@ def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
         img = jnp.zeros((H, W, 3), jnp.float32)
         # fluid underlay
         if spec.n_liquid > 0:
-            alpha = _fluid_layer(state, spec, H, W, mpp)
+            alpha = _fluid_layer(state, spec, H, W, mpp, splat)
             base = jnp.array(FLUID_BASE_COLOR, jnp.float32)
             img = img * (1 - alpha[:, :, None]) + base * alpha[:, :, None]
         # color-scheme recolor (SLEEP paints asleep red / awake green,

@@ -21,6 +21,43 @@ def test_renderer_shapes_and_determinism():
     assert blue.mean() > 0.02
 
 
+def test_conv_splat_matches_exact():
+    """The large-N conv splat (bilinear deposit + poly6-disc convolution)
+    must visually agree with the exact per-particle splat: same frame shape,
+    and the thresholded fluid region differs on only a sliver of pixels."""
+    sc = create_scenario(ST.SIMPLE_FLUID, seed=0)
+    f_exact = np.asarray(make_renderer(sc.spec, sc.cfg,
+                                       splat="exact")(sc.state))
+    f_conv = np.asarray(make_renderer(sc.spec, sc.cfg,
+                                      splat="conv")(sc.state))
+    blue = lambda f: (f[:, :, 2] > 200) & (f[:, :, 0] < 100)
+    be, bc = blue(f_exact), blue(f_conv)
+    assert be.mean() > 0.02 and bc.mean() > 0.02
+    # regions overlap almost everywhere (conv samples the kernel at pixel
+    # centers; the difference lives only on the smoothstep boundary)
+    assert (be ^ bc).mean() < 0.01
+
+
+def test_windowed_raster_matches_loop():
+    """The large-count windowed priority rasterizer must reproduce the
+    sequential painter's loop exactly (same coverage, same winning color)."""
+    from lpe_tpu.render.frame import (_shape_masks_loop,
+                                      _shape_masks_windowed)
+    from lpe_tpu.scenarios.bench_scenes import build_rigid_stacks
+    sc = build_rigid_stacks(64, seed=3)
+    spec, st = sc.spec, sc.state
+    mpp = sc.cfg.shared.meters_per_pixel
+    WR = int(spec.solid_cell_size / (2.0 * mpp)) + 2
+    cl, al = _shape_masks_loop(st, spec.solid_start, spec.n_solid,
+                               600, 600, mpp)
+    cw, aw = _shape_masks_windowed(st, spec, spec.solid_start, spec.n_solid,
+                                   600, 600, mpp, WR)
+    assert (np.asarray(al) > 0).any()
+    np.testing.assert_array_equal(np.asarray(al) > 0, np.asarray(aw) > 0)
+    np.testing.assert_array_equal(
+        np.asarray(cl)[np.asarray(al) > 0], np.asarray(cw)[np.asarray(aw) > 0])
+
+
 def test_sleep_color_scheme():
     sc = create_scenario(ST.RANDOM_POLYGONS, seed=0)
     r = make_renderer(sc.spec, sc.cfg, color_scheme=SCHEME_SLEEP)
