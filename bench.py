@@ -82,13 +82,13 @@ def main():
         for _ in range(ORACLE_TICKS):
             pos, vel, _, _ = oracle.tick(pos, vel, mass)
         cpu_s = time.perf_counter() - t0
-    cpu_tps = ORACLE_TICKS / cpu_s
+    cpu_tps = ORACLE_TICKS / cpu_s if ORACLE_TICKS else 0.0
 
     out = {
         "metric": f"sph_dam_break_{N_PARTICLES}_ticks_per_sec",
         "value": round(dev_tps, 3),
         "unit": "ticks/s",
-        "vs_baseline": round(dev_tps / cpu_tps, 2),
+        "vs_baseline": round(dev_tps / cpu_tps, 2) if cpu_tps else None,
         "device": str(jax.devices()[0]),
         "baseline": baseline,
         "cpu_ticks_per_sec": round(cpu_tps, 3),
