@@ -32,7 +32,30 @@ ORACLE_TICKS = int(os.environ.get("BENCH_ORACLE_TICKS", "3"))
 BLOCK = max(1, int(os.environ.get("BENCH_BLOCK", "10")))
 
 
+def _accelerator_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the default backend in a SUBPROCESS: when the tunneled TPU is
+    unreachable, ``jax.devices()`` blocks forever in a reconnect loop (no
+    exception to catch), which would hang the whole benchmark run."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    global N_PARTICLES, TICKS
+    fallback = None
+    if not _accelerator_reachable():
+        # degraded mode: finish with a CPU measurement rather than hang
+        fallback = "accelerator unreachable; CPU backend, reduced workload"
+        N_PARTICLES = min(N_PARTICLES, 5000)
+        TICKS = min(TICKS, 10)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import numpy as np
 
@@ -96,6 +119,8 @@ def main():
         "substeps_per_tick": fc.num_sub_steps,
         "ticks_per_dispatch": BLOCK,
     }
+    if fallback:
+        out["fallback"] = fallback
     print(json.dumps(out))
     return 0
 

@@ -312,9 +312,11 @@ def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
     def frame(state: SimState) -> jax.Array:
         b = state.bodies
         img = jnp.zeros((H, W, 3), jnp.float32)
-        # fluid underlay
+        # fluid underlay (named scopes mark the frame's phases in device
+        # traces — SimManager.trace is the profiling entry point)
         if spec.n_liquid > 0:
-            alpha = _fluid_layer(state, spec, H, W, mpp, splat)
+            with jax.named_scope("render_fluid"):
+                alpha = _fluid_layer(state, spec, H, W, mpp, splat)
             base = jnp.array(FLUID_BASE_COLOR, jnp.float32)
             img = img * (1 - alpha[:, :, None]) + base * alpha[:, :, None]
         # color-scheme recolor (SLEEP paints asleep red / awake green,
@@ -336,17 +338,20 @@ def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
             st = state.replace(bodies=b.replace(
                 color=jnp.where(b.has_temperature[:, None], col, gray)))
         # solids
-        scol, salpha = _shape_masks(st, spec, spec.solid_start, spec.n_solid,
-                                    H, W, mpp)
+        with jax.named_scope("render_solids"):
+            scol, salpha = _shape_masks(st, spec, spec.solid_start,
+                                        spec.n_solid, H, W, mpp)
         img = jnp.where(salpha[:, :, None] > 0, scol, img)
         # gas (alpha 180/255)
         if spec.n_gas > 0:
-            gcol, galpha = _shape_masks(st, spec, spec.gas_start, spec.n_gas,
-                                        H, W, mpp)
+            with jax.named_scope("render_gas"):
+                gcol, galpha = _shape_masks(st, spec, spec.gas_start,
+                                            spec.n_gas, H, W, mpp)
             ga = galpha[:, :, None] * (180.0 / 255.0)
             img = img * (1 - ga) + gcol * ga
         if debug:
-            img = _debug_overlays(st, spec, img, H, W, mpp)
+            with jax.named_scope("render_debug"):
+                img = _debug_overlays(st, spec, img, H, W, mpp)
         return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
     return jax.jit(frame) if jit else frame

@@ -70,10 +70,13 @@ def build_rigid_stacks(n_bodies: int = 1000, seed: int = 0,
     import jax.numpy as jnp
     from .random_polygons import RandomPolygonsConfig, make_config
     from ..math.polygon import build_random_convex_polygon
+    from ..core.config import ContactSolverConfig
     ec = RandomPolygonsConfig(particle_count=n_bodies, small_shape_min=0.05,
                               small_shape_max=0.12)
     cfg = make_config(ec).replace(rigid=RigidBodyConfig(
-        broadphase=BroadphaseConfig(max_pairs=max(1024, 4 * n_bodies))))
+        broadphase=BroadphaseConfig(max_pairs=max(1024, 4 * n_bodies)),
+        # staged sweeps measurably tighten stacks (see ContactSolverConfig)
+        solver=ContactSolverConfig(stages=4)))
     size = cfg.shared.universe_size_m
     rng = np.random.default_rng(seed)
     b = SceneBuilder(f"RIGID_STACKS_{n_bodies}")

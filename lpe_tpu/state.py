@@ -99,6 +99,11 @@ class SimState:
     warm_tangent: jax.Array        # [max_pairs, max_contacts] float
     warm_ia: jax.Array             # [max_pairs] int32 (-1 = empty slot)
     warm_ib: jax.Array             # [max_pairs] int32
+    # Contact-point positions + manifold normal backing the reference's
+    # position-based impulse matching (dist^2 < 1e-6, contact_manager.cpp:
+    # 222-234) and normal-rotation manifold reset (cos < 0.95, :202-209).
+    warm_pt: jax.Array             # [max_pairs, max_contacts, 2] float
+    warm_n: jax.Array              # [max_pairs, 2] float
 
 
 def zero_bodies(n: int, dtype=jnp.float32) -> Bodies:
@@ -133,6 +138,8 @@ def make_state(bodies: Bodies, max_pairs: int = 1, max_contacts: int = 8,
         warm_tangent=jnp.zeros((max_pairs, max_contacts), dtype),
         warm_ia=jnp.full((max_pairs,), -1, jnp.int32),
         warm_ib=jnp.full((max_pairs,), -1, jnp.int32),
+        warm_pt=jnp.full((max_pairs, max_contacts, 2), 1e30, dtype),
+        warm_n=jnp.zeros((max_pairs, 2), dtype),
     )
 
 

@@ -28,7 +28,7 @@ from ...core.constants import MAX_POLY_VERTS, ShapeKind
 from ...scene import SceneSpec
 from ...state import SimState
 from . import geometry as geo
-from .solver import solve_position, solve_velocity
+from .solver import match_warm_impulses, solve_position, solve_velocity
 
 INF = 1e30
 
@@ -339,14 +339,20 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             sc_ = jnp.clip(slot, 0)
             same = in_slot | (
                 (slot >= 0) & (pia[sc_] == ia) & (pib[sc_] == ib))
-            ln0 = jnp.where(same[:, None],
-                            state.warm_normal[:MAX_PAIRS][sc_],
-                            0.0).reshape(-1)
-            lt0 = jnp.where(same[:, None],
-                            state.warm_tangent[:MAX_PAIRS][sc_],
-                            0.0).reshape(-1)
-            ln0 = jnp.where(avalid, ln0[rid_s], 0.0)
-            lt0 = jnp.where(avalid, lt0[rid_s], 0.0)
+            # Within the matched pair, impulses follow contact POINTS
+            # (reference semantics: position match within 1e-3 + normal-
+            # rotation manifold reset) — robust to slot-order flips
+            # between ticks. See solver.match_warm_impulses.
+            nh = nrm / jnp.maximum(
+                jnp.sqrt((nrm * nrm).sum(-1, keepdims=True)), 1e-30)
+            ln0_m, lt0_m = match_warm_impulses(
+                pts, nh, state.warm_pt[:MAX_PAIRS][sc_],
+                state.warm_n[:MAX_PAIRS][sc_],
+                state.warm_normal[:MAX_PAIRS][sc_],
+                state.warm_tangent[:MAX_PAIRS][sc_],
+                same, tol=rc.warm_position_tolerance)
+            ln0 = jnp.where(avalid, ln0_m.reshape(-1)[rid_s], 0.0)
+            lt0 = jnp.where(avalid, lt0_m.reshape(-1)[rid_s], 0.0)
         else:
             ln0 = jnp.zeros_like(pen_c)
             lt0 = jnp.zeros_like(pen_c)
@@ -380,7 +386,12 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                 warm_ia=state.warm_ia.at[:MAX_PAIRS].set(
                     jnp.where(pvalid, ia, -1).astype(jnp.int32)),
                 warm_ib=state.warm_ib.at[:MAX_PAIRS].set(
-                    jnp.where(pvalid, ib, -1).astype(jnp.int32)))
+                    jnp.where(pvalid, ib, -1).astype(jnp.int32)),
+                # far sentinel on invalid rows: they can never match
+                warm_pt=state.warm_pt.at[:MAX_PAIRS].set(
+                    jnp.where(valid_r.reshape(MAX_PAIRS, C)[..., None],
+                              pts, 1e30)),
+                warm_n=state.warm_n.at[:MAX_PAIRS].set(nh))
         return st
 
     return step

@@ -48,58 +48,153 @@ def _eff_mass(dirv, ra, rb, im_a, im_b, ii_a, ii_b):
     return jnp.where(s < 1e-12, 0.0, 1.0 / jnp.maximum(s, 1e-12))
 
 
+def match_warm_impulses(pts, nrm, cpt, cn, cln, clt, pair_ok,
+                        tol: float = 1e-3, normal_cos: float = 0.95):
+    """Position-matched warm-start lookup (the reference ContactManager's
+    semantics, contact_manager.cpp:164-248, un-neutered):
+
+    - a pair's cached manifold is discarded when its normal rotated past
+      ``cos < normal_cos`` (contact_manager.cpp:202-209);
+    - each new contact point takes the impulse of the first cached point
+      within ``tol`` (dist^2 < tol^2, contact_manager.cpp:222-234) —
+      impulses follow *points*, so a slot-order flip between ticks (e.g.
+      two clipped contacts whose penetration order swapped) keeps its
+      accumulated impulses;
+    - a point with NO positional match falls back to its *slot's* cached
+      impulse instead of the reference's cold start. Divergence, on
+      purpose: the reference's sequential PGS converges fine from zero,
+      while this solver's parallel mass-splitting Jacobi leans on warm
+      starts for stack convergence — during settling, contact points move
+      more than 1e-3/tick (Baumgarte corrections alone exceed it) and
+      strict matching would cold-start exactly when stacks need the cache
+      most (measured: the 5-box stack never calms). The fallback is the
+      pre-existing slot-aligned behavior; position matching refines it
+      when points are trackable.
+
+    pts [P, C, 2] new points; nrm [P, 2] new normals (unit);
+    cpt [P, C, 2] cached points; cn [P, 2] cached normals;
+    cln/clt [P, C] cached impulses (slot-aligned); pair_ok [P] bool.
+    Returns (ln0, lt0) each [P, C].
+    """
+    ndot = (cn * nrm).sum(-1)
+    ok = pair_ok & (ndot >= normal_cos)
+    d2 = ((pts[:, :, None, :] - cpt[:, None, :, :]) ** 2).sum(-1)
+    m = d2 < tol * tol                                   # [P, C, C']
+    first = m & (jnp.cumsum(m.astype(jnp.int32), axis=2) == 1)
+    matched = m.any(2)
+    ln0 = jnp.where(first, cln[:, None, :], 0.0).sum(2)
+    lt0 = jnp.where(first, clt[:, None, :], 0.0).sum(2)
+    ln0 = jnp.where(matched, ln0, cln)
+    lt0 = jnp.where(matched, lt0, clt)
+    keep = ok[:, None]
+    return jnp.where(keep, ln0, 0.0), jnp.where(keep, lt0, 0.0)
+
+
 def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
                    lam_n0, lam_t0, cfg: ContactSolverConfig):
-    """Returns (vel, omega, lam_n, lam_t)."""
+    """Returns (vel, omega, lam_n, lam_t).
+
+    Staged (block) projected Jacobi: the contact rows are split round-robin
+    into ``cfg.stages`` segments (row r -> segment r % NB); one iteration
+    applies the segments *sequentially*, each a mass-splitting Jacobi step
+    over its own rows that sees the velocities already updated by earlier
+    segments. This interpolates between plain Jacobi (stages=1, the previous
+    scheme, still available) and Gauss-Seidel (stages=rows, the reference's
+    sequential sweep, contact_solver.cpp:397-439) at the SAME indexed-op
+    volume per iteration — the gathers/scatters are merely sliced into NB
+    chunks. Round-robin is deliberately anti-correlated with row adjacency:
+    compacted rows come pair-major, so a pair's two manifold points (which
+    share both bodies) always land in different segments, and neighboring
+    pairs in a stack usually do too — most of the sequential-coupling
+    benefit of graph coloring without computing a coloring.
+
+    The mass-splitting degree is computed PER SEGMENT (a body split across
+    segments takes full-size steps within each), which is what makes staging
+    converge faster than one global-degree Jacobi sweep.
+    """
     S = pos.shape[0]
+    R = ia.shape[0]
+    NB = max(1, min(int(getattr(cfg, "stages", 1)), R))
+    Rp = -(-R // NB) * NB
+    if Rp != R:                      # pad to a multiple of NB (static)
+        padr = Rp - R
+        ia = jnp.concatenate([ia, jnp.zeros((padr,), ia.dtype)])
+        ib = jnp.concatenate([ib, jnp.zeros((padr,), ib.dtype)])
+        n = jnp.concatenate([n, jnp.ones((padr, 2), n.dtype)])
+        pt = jnp.concatenate([pt, jnp.zeros((padr, 2), pt.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((padr,), bool)])
+        lam_n0 = jnp.concatenate([lam_n0, jnp.zeros((padr,), lam_n0.dtype)])
+        lam_t0 = jnp.concatenate([lam_t0, jnp.zeros((padr,), lam_t0.dtype)])
+
     nrm = n / jnp.maximum(jnp.sqrt((n * n).sum(-1, keepdims=True)), 1e-30)
     tan = jnp.stack([-nrm[:, 1], nrm[:, 0]], axis=-1)
     ra = pt - pos[ia]
     rb = pt - pos[ib]
-    deg = _contact_degree(ia, ib, valid, S)
     im_a, im_b = inv_m[ia], inv_m[ib]
     ii_a, ii_b = inv_i[ia], inv_i[ib]
-    dg_a, dg_b = deg[ia], deg[ib]
-    eff_n = _eff_mass(nrm, ra, rb, im_a * dg_a, im_b * dg_b,
-                      ii_a * dg_a, ii_b * dg_b) * valid
-    eff_t = _eff_mass(tan, ra, rb, im_a * dg_a, im_b * dg_b,
-                      ii_a * dg_a, ii_b * dg_b) * valid
-
-    def rel_vel2(u):
-        """Relative contact velocity along BOTH directions from one gather
-        pair (gathers are the per-iteration floor on TPU, not flops)."""
-        ua = u[ia]                                      # [rows, 3]
-        ub = u[ib]
-        va = ua[:, :2] + jnp.stack([-ua[:, 2] * ra[:, 1],
-                                    ua[:, 2] * ra[:, 0]], -1)
-        vb = ub[:, :2] + jnp.stack([-ub[:, 2] * rb[:, 1],
-                                    ub[:, 2] * rb[:, 0]], -1)
-        rv = vb - va
-        return (rv * nrm).sum(-1), (rv * tan).sum(-1)
-
-    def apply2(u, dln, dlt):
-        """One scatter pair applying the normal and tangent impulses."""
-        imp = nrm * dln[:, None] + tan * dlt[:, None]
-        da = jnp.concatenate(
-            [-imp * im_a[:, None],
-             (-(_cross2(ra, nrm) * dln + _cross2(ra, tan) * dlt)
-              * ii_a)[:, None]], axis=1)
-        db = jnp.concatenate(
-            [imp * im_b[:, None],
-             ((_cross2(rb, nrm) * dln + _cross2(rb, tan) * dlt)
-              * ii_b)[:, None]], axis=1)
-        return u.at[ia].add(da).at[ib].add(db)
 
     relax = cfg.relaxation
     mu = cfg.friction_coeff
-    # own-contact normal->tangent velocity coupling (n.t = 0, so only the
-    # rotational terms survive): applying dln changes this contact's tangent
-    # velocity by dln * ctn. Folding it in analytically lets the friction
-    # update see its own contact's fresh normal impulse from the same gather
-    # (the reference's sequential sweeps see it through memory,
-    # contact_solver.cpp:397-439).
-    ctn = (_cross2(ra, nrm) * _cross2(ra, tan) * ii_a
-           + _cross2(rb, nrm) * _cross2(rb, tan) * ii_b)
+
+    def seg(v, s):
+        return v[s::NB]
+
+    segs = []
+    for s in range(NB):
+        v_s = seg(valid, s)
+        deg = _contact_degree(seg(ia, s), seg(ib, s), v_s, S)
+        dg_a, dg_b = deg[seg(ia, s)], deg[seg(ib, s)]
+        g = dict(
+            ia=seg(ia, s), ib=seg(ib, s), valid=v_s,
+            nrm=seg(nrm, s), tan=seg(tan, s),
+            ra=seg(ra, s), rb=seg(rb, s),
+            im_a=seg(im_a, s), im_b=seg(im_b, s),
+            ii_a=seg(ii_a, s), ii_b=seg(ii_b, s),
+        )
+        g["eff_n"] = _eff_mass(g["nrm"], g["ra"], g["rb"],
+                               g["im_a"] * dg_a, g["im_b"] * dg_b,
+                               g["ii_a"] * dg_a, g["ii_b"] * dg_b) * v_s
+        g["eff_t"] = _eff_mass(g["tan"], g["ra"], g["rb"],
+                               g["im_a"] * dg_a, g["im_b"] * dg_b,
+                               g["ii_a"] * dg_a, g["ii_b"] * dg_b) * v_s
+        # own-contact normal->tangent velocity coupling (n.t = 0, so only
+        # the rotational terms survive): applying dln changes this contact's
+        # tangent velocity by dln * ctn, letting the friction update see its
+        # own contact's fresh normal impulse from the same gather (the
+        # reference's sequential sweeps see it through memory,
+        # contact_solver.cpp:397-439).
+        g["ctn"] = (_cross2(g["ra"], g["nrm"]) * _cross2(g["ra"], g["tan"])
+                    * g["ii_a"]
+                    + _cross2(g["rb"], g["nrm"]) * _cross2(g["rb"], g["tan"])
+                    * g["ii_b"])
+        segs.append(g)
+
+    def rel_vel2(u, g):
+        """Relative contact velocity along BOTH directions from one gather
+        pair (gathers are the per-iteration floor on TPU, not flops)."""
+        ua = u[g["ia"]]                                 # [rows, 3]
+        ub = u[g["ib"]]
+        va = ua[:, :2] + jnp.stack([-ua[:, 2] * g["ra"][:, 1],
+                                    ua[:, 2] * g["ra"][:, 0]], -1)
+        vb = ub[:, :2] + jnp.stack([-ub[:, 2] * g["rb"][:, 1],
+                                    ub[:, 2] * g["rb"][:, 0]], -1)
+        rv = vb - va
+        return (rv * g["nrm"]).sum(-1), (rv * g["tan"]).sum(-1)
+
+    def apply2(u, g, dln, dlt):
+        """One scatter pair applying the normal and tangent impulses."""
+        imp = g["nrm"] * dln[:, None] + g["tan"] * dlt[:, None]
+        da = jnp.concatenate(
+            [-imp * g["im_a"][:, None],
+             (-(_cross2(g["ra"], g["nrm"]) * dln
+                + _cross2(g["ra"], g["tan"]) * dlt)
+              * g["ii_a"])[:, None]], axis=1)
+        db = jnp.concatenate(
+            [imp * g["im_b"][:, None],
+             ((_cross2(g["rb"], g["nrm"]) * dln
+               + _cross2(g["rb"], g["tan"]) * dlt)
+              * g["ii_b"])[:, None]], axis=1)
+        return u.at[g["ia"]].add(da).at[g["ib"]].add(db)
 
     u = jnp.concatenate([vel, omega[:, None]], axis=1)  # [S, 3]
 
@@ -113,33 +208,52 @@ def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
     # removes only part per iteration). Resting/pressed contacts — where
     # warm starting is what keeps stacks from sinking — have vn ~ 0 and
     # keep their cache.
-    vn0, _ = rel_vel2(u)
-    warm_ok = valid & (vn0 <= 0.0)
-    lam_n0 = jnp.where(warm_ok, lam_n0, 0.0)
-    lam_t0 = jnp.where(warm_ok, lam_t0, 0.0)
-    u = apply2(u, lam_n0, lam_t0)
+    ln_segs, lt_segs = [], []
+    for s in range(NB):
+        g = segs[s]
+        vn0, _ = rel_vel2(u, g)
+        warm_ok = g["valid"] & (vn0 <= 0.0)
+        ln_s = jnp.where(warm_ok, seg(lam_n0, s), 0.0)
+        lt_s = jnp.where(warm_ok, seg(lam_t0, s), 0.0)
+        u = apply2(u, g, ln_s, lt_s)
+        ln_segs.append(ln_s)
+        lt_segs.append(lt_s)
 
+    def sweep(u, lns, lts, order):
+        for s in order:
+            g = segs[s]
+            ln, lt = lns[s], lts[s]
+            vn, vt = rel_vel2(u, g)
+            # normal row
+            dl = -g["eff_n"] * vn * relax
+            new_ln = jnp.maximum(ln + dl, 0.0)
+            dln = jnp.where(g["valid"], new_ln - ln, 0.0)
+            # friction row: limit uses the fresh normal impulse; tangent
+            # velocity sees the fresh own-contact normal impulse through ctn
+            lim = mu * new_ln
+            vt = vt + dln * g["ctn"]
+            dlt_raw = -g["eff_t"] * vt * relax
+            new_lt = jnp.clip(lt + dlt_raw, -lim, lim)
+            dlt = jnp.where(g["valid"], new_lt - lt, 0.0)
+            u = apply2(u, g, dln, dlt)
+            lns[s] = jnp.where(g["valid"], new_ln, ln)
+            lts[s] = jnp.where(g["valid"], new_lt, lt)
+        return u, lns, lts
+
+    # One-way (fixed-order) sweeps, on measurement: alternating forward/
+    # reverse orders — the textbook symmetric-GS bias fix — measured
+    # strictly worse on deep stacks (penetration and lateral creep both
+    # grew), so the simple fixed order stays.
     def body(_, carry):
-        u, ln, lt = carry
-        vn, vt = rel_vel2(u)
-        # normal row
-        dl = -eff_n * vn * relax
-        new_ln = jnp.maximum(ln + dl, 0.0)
-        dln = jnp.where(valid, new_ln - ln, 0.0)
-        # friction row: limit uses the fresh normal impulse; tangent velocity
-        # sees the fresh own-contact normal impulse through ctn
-        lim = mu * new_ln
-        vt = vt + dln * ctn
-        dlt_raw = -eff_t * vt * relax
-        new_lt = jnp.clip(lt + dlt_raw, -lim, lim)
-        dlt = jnp.where(valid, new_lt - lt, 0.0)
-        u = apply2(u, dln, dlt)
-        ln = jnp.where(valid, new_ln, ln)
-        lt = jnp.where(valid, new_lt, lt)
-        return u, ln, lt
+        u, lns, lts = carry
+        u, lns, lts = sweep(u, list(lns), list(lts), range(NB))
+        return u, tuple(lns), tuple(lts)
 
-    u, ln, lt = jax.lax.fori_loop(
-        0, cfg.iterations, body, (u, lam_n0, lam_t0))
+    u, ln_segs, lt_segs = jax.lax.fori_loop(
+        0, cfg.iterations, body, (u, tuple(ln_segs), tuple(lt_segs)))
+    # reassemble round-robin segments: row r = NB*k + s <- segs[s][k]
+    ln = jnp.stack(ln_segs, axis=1).reshape(Rp)[:R]
+    lt = jnp.stack(lt_segs, axis=1).reshape(Rp)[:R]
     return u[:, :2], u[:, 2], ln, lt
 
 
@@ -147,35 +261,64 @@ def solve_position(pos, angle, inv_m, inv_i, ia, ib, n, pt, pen, valid,
                    cfg: PositionSolverConfig):
     """Baumgarte positional correction; lever arms track the moving bodies,
     penetration stays frozen, exactly like the reference
-    (position_solver.cpp:215-290). Returns (pos, angle)."""
+    (position_solver.cpp:215-290). Staged round-robin like solve_velocity.
+    Returns (pos, angle)."""
     S = pos.shape[0]
+    R = ia.shape[0]
+    NB = max(1, min(int(getattr(cfg, "stages", 1)), R))
+    Rp = -(-R // NB) * NB
+    if Rp != R:
+        padr = Rp - R
+        ia = jnp.concatenate([ia, jnp.zeros((padr,), ia.dtype)])
+        ib = jnp.concatenate([ib, jnp.zeros((padr,), ib.dtype)])
+        n = jnp.concatenate([n, jnp.ones((padr, 2), n.dtype)])
+        pt = jnp.concatenate([pt, jnp.zeros((padr, 2), pt.dtype)])
+        pen = jnp.concatenate([pen, jnp.zeros((padr,), pen.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((padr,), bool)])
+
     nrm = n / jnp.maximum(jnp.sqrt((n * n).sum(-1, keepdims=True)), 1e-30)
     act = valid & ((pen - cfg.slop) > 0.0)
     corr = cfg.baumgarte * (pen - cfg.slop)
-    deg = _contact_degree(ia, ib, act, S)
-    im_a, im_b = inv_m[ia], inv_m[ib]
-    ii_a, ii_b = inv_i[ia], inv_i[ib]
-    dg_a, dg_b = deg[ia], deg[ib]
+
+    segs = []
+    for s in range(NB):
+        sl = slice(s, Rp, NB)
+        a_s = act[sl]
+        deg = _contact_degree(ia[sl], ib[sl], a_s, S)
+        segs.append(dict(
+            ia=ia[sl], ib=ib[sl], act=a_s, nrm=nrm[sl], pt=pt[sl],
+            corr=corr[sl], im_a=inv_m[ia[sl]], im_b=inv_m[ib[sl]],
+            ii_a=inv_i[ia[sl]], ii_b=inv_i[ib[sl]],
+            dg_a=deg[ia[sl]], dg_b=deg[ib[sl]]))
 
     q0 = jnp.concatenate([pos, angle[:, None]], axis=1)  # [S, 3]
 
+    def half(q, order):
+        for s in order:
+            g = segs[s]
+            qa = q[g["ia"]]
+            qb = q[g["ib"]]
+            ra = g["pt"] - qa[:, :2]
+            rb = g["pt"] - qb[:, :2]
+            ra_x = _cross2(ra, g["nrm"])
+            rb_x = _cross2(rb, g["nrm"])
+            denom = (g["im_a"] * g["dg_a"] + g["im_b"] * g["dg_b"]
+                     + ra_x * ra_x * g["ii_a"] * g["dg_a"]
+                     + rb_x * rb_x * g["ii_b"] * g["dg_b"])
+            scalar = jnp.where(g["act"] & (denom > 1e-12),
+                               g["corr"] / jnp.maximum(denom, 1e-12), 0.0)
+            d = g["nrm"] * scalar[:, None]
+            da = jnp.concatenate([-d * g["im_a"][:, None],
+                                  (-ra_x * scalar * g["ii_a"])[:, None]],
+                                 axis=1)
+            db = jnp.concatenate([d * g["im_b"][:, None],
+                                  (rb_x * scalar * g["ii_b"])[:, None]],
+                                 axis=1)
+            q = q.at[g["ia"]].add(da).at[g["ib"]].add(db)
+        return q
+
     def body(_, q):
-        qa = q[ia]
-        qb = q[ib]
-        ra = pt - qa[:, :2]
-        rb = pt - qb[:, :2]
-        ra_x = _cross2(ra, nrm)
-        rb_x = _cross2(rb, nrm)
-        denom = (im_a * dg_a + im_b * dg_b +
-                 ra_x * ra_x * ii_a * dg_a + rb_x * rb_x * ii_b * dg_b)
-        scalar = jnp.where(act & (denom > 1e-12),
-                           corr / jnp.maximum(denom, 1e-12), 0.0)
-        d = nrm * scalar[:, None]
-        da = jnp.concatenate([-d * im_a[:, None],
-                              (-ra_x * scalar * ii_a)[:, None]], axis=1)
-        db = jnp.concatenate([d * im_b[:, None],
-                              (rb_x * scalar * ii_b)[:, None]], axis=1)
-        return q.at[ia].add(da).at[ib].add(db)
+        return half(q, range(NB))
 
     q = jax.lax.fori_loop(0, cfg.iterations, body, q0)
     return q[:, :2], q[:, 2]

@@ -9,9 +9,13 @@ from lpe_tpu.scene import SceneBuilder
 from lpe_tpu.systems.rigid import make_rigid
 
 
-def scene(entities, **shared_kw):
+def scene(entities, solver_stages=None, **shared_kw):
     cfg = ScenarioSystemConfig(
         shared=SharedSystemConfig(universe_size_m=6.0, **shared_kw))
+    if solver_stages is not None:
+        cfg = cfg.replace(rigid=dataclasses.replace(
+            cfg.rigid, solver=dataclasses.replace(
+                cfg.rigid.solver, stages=solver_stages)))
     b = SceneBuilder("t")
     for e in entities:
         b.add(**e)
@@ -115,9 +119,15 @@ def test_no_contacts_is_identity():
                        [[1, 1], [5, 5]])
 
 
-def test_stacking_stability():
+import pytest
+
+
+@pytest.mark.parametrize("stages", [1, 4])
+def test_stacking_stability(stages):
     # 5-box stack on a floor under gravity-like downward velocity injection:
     # with the velocity+position solvers it must not explode or sink.
+    # stages=1 is the default Jacobi sweep; stages=4 the staged (block)
+    # variant stacking scenes opt into.
     ents = [dict(pos=(3.0, 5.0), vel=(0.0, 0.0), mass=1e30, boundary=True,
                  shape_kind=int(ShapeKind.POLYGON), radius=0.05,
                  verts=np.array([[-3, -0.05], [-3, 0.05], [3, 0.05],
@@ -130,7 +140,7 @@ def test_stacking_stability():
                          mass=1.0, shape_kind=int(ShapeKind.POLYGON),
                          radius=hw, verts=box,
                          inertia=(2.0 / 3.0) * 1.0 * hw * hw))
-    sc = scene(ents)
+    sc = scene(ents, solver_stages=stages)
     import jax
     import jax.numpy as jnp
     step = rigid_step(sc)
@@ -158,3 +168,66 @@ def test_stacking_stability():
     ys = p[1:6, 1]
     assert (np.diff(ys[np.argsort(ys)]) > hw).all()    # boxes stay separated
     assert ys.max() < 4.96                        # nothing sank through floor
+
+
+def test_warm_impulse_position_matching():
+    """Impulses follow contact POINTS, not slots (contact_manager.cpp:222-234):
+    a slot-order flip between ticks keeps each point's accumulated impulse;
+    a rotated manifold normal (cos < 0.95) or an unmatched pair resets."""
+    import jax.numpy as jnp
+
+    from lpe_tpu.systems.rigid.solver import match_warm_impulses
+
+    # one pair, two cached points with distinct impulses
+    cpt = jnp.array([[[1.0, 0.0], [2.0, 0.0]]])
+    cln = jnp.array([[10.0, 20.0]])
+    clt = jnp.array([[1.0, 2.0]])
+    cn = jnp.array([[0.0, 1.0]])
+    ok = jnp.array([True])
+
+    # new points arrive slot-swapped (within tolerance of the cached ones)
+    pts = jnp.array([[[2.0003, 0.0], [1.0, 0.0004]]])
+    nrm = jnp.array([[0.0, 1.0]])
+    ln0, lt0 = match_warm_impulses(pts, nrm, cpt, cn, cln, clt, ok)
+    assert np.allclose(np.asarray(ln0), [[20.0, 10.0]])
+    assert np.allclose(np.asarray(lt0), [[2.0, 1.0]])
+
+    # a point that moved beyond tolerance falls back to its slot's cache
+    # (solver needs warm starts through fast settling; see the docstring)
+    pts2 = jnp.array([[[1.0, 0.0], [2.1, 0.0]]])
+    ln0, _ = match_warm_impulses(pts2, nrm, cpt, cn, cln, clt, ok)
+    assert np.allclose(np.asarray(ln0), [[10.0, 20.0]])
+
+    # manifold normal rotated past cos 0.95 -> full reset
+    nrm_rot = jnp.array([[0.6, 0.8]])
+    ln0, lt0 = match_warm_impulses(pts, nrm_rot, cpt, cn, cln, clt, ok)
+    assert np.asarray(ln0).sum() == 0.0 and np.asarray(lt0).sum() == 0.0
+
+    # pair identity mismatch -> full reset
+    ln0, _ = match_warm_impulses(pts, nrm, cpt, cn, cln, clt,
+                                 jnp.array([False]))
+    assert np.asarray(ln0).sum() == 0.0
+
+
+def test_warm_cache_points_persist_across_ticks():
+    """A resting contact populates the point cache and re-matches next tick
+    (the behavior the reference's per-tick ContactManager recreation
+    neutered, rigid_body_collision.cpp:40)."""
+    sc = scene([
+        dict(pos=(3.0, 0.5), mass=1e30, radius=1.0, boundary=True,
+             shape_kind=int(ShapeKind.POLYGON),
+             verts=[(-1, -0.5), (-1, 0.5), (1, 0.5), (1, -0.5)],
+             inertia=1e30),
+        dict(pos=(3.0, 1.395), vel=(0.0, -0.1), mass=1.0, radius=0.2,
+             shape_kind=int(ShapeKind.POLYGON),
+             verts=[(-0.2, -0.4), (-0.2, 0.4), (0.2, 0.4), (0.2, -0.4)],
+             inertia=0.05),
+    ])
+    step = rigid_step(sc)
+    s = step(sc.state)
+    s = step(s)
+    pts = np.asarray(s.warm_pt)
+    ln = np.asarray(s.warm_normal)
+    touching = pts[..., 0] < 1e29
+    assert touching.any(), "resting pair should cache contact points"
+    assert np.abs(ln).max() > 0.0, "resting pair should cache impulses"
