@@ -99,6 +99,73 @@ def build_rigid_stacks(n_bodies: int = 1000, seed: int = 0,
     return b.finalize(cfg, dtype=dtype or jnp.float32)
 
 
+def build_highlight_reel(n_fluid: int = 20000, n_rigid: int = 60,
+                         n_gas: int = 200, seed: int = 0,
+                         dtype=None) -> Scene:
+    """Combined highlight-reel workload (BASELINE.md's last benchmark
+    config): every per-tick system at once — SPH fluid with two-way rigid
+    coupling, the full rigid pipeline on mixed circles/polygons with sleep,
+    gas-phase drifters, uniform gravity, boundary, rotation. The content
+    mirrors the reference's showcase mix (fluid tank + dropped polygons +
+    gas particles) at benchmark scale."""
+    import jax.numpy as jnp
+    base = build_dam_break(n_fluid, seed=seed, dtype=dtype)
+    size = base.cfg.shared.universe_size_m
+    scale = math.sqrt(n_fluid / 20000.0)
+    rng = np.random.default_rng(seed + 7)
+    b = SceneBuilder(f"HIGHLIGHT_{n_fluid}_{n_rigid}_{n_gas}")
+    add_tank_walls(b, size, 0.05 * scale, 1e30, 0.0, 0.0)
+    cfg = base.cfg.replace(rigid=RigidBodyConfig(
+        broadphase=BroadphaseConfig(max_pairs=max(512, 8 * n_rigid))))
+    # mixed rigid bodies raining into the spill path: polygons + circles
+    for i in range(n_rigid):
+        x = rng.uniform(size * 0.45, size * 0.95)
+        y = rng.uniform(size * 0.05, size * 0.45)
+        if i % 3 == 2:
+            r = rng.uniform(0.03, 0.06) * scale * 4.0
+            m = 1.0 * scale * scale
+            b.add(pos=(x, y), mass=m, phase=int(Phase.SOLID), has_sleep=True,
+                  shape_kind=int(ShapeKind.CIRCLE), radius=r,
+                  inertia=0.5 * m * r * r, omega=rng.uniform(-2, 2),
+                  color=(220, 120, 60))
+        else:
+            r = rng.uniform(0.04, 0.08) * scale * 4.0
+            verts = build_regular_polygon(3 + i % 4, r)
+            m = 2.0 * scale * scale
+            b.add(pos=(x, y), mass=m, phase=int(Phase.SOLID), has_sleep=True,
+                  shape_kind=int(ShapeKind.POLYGON), radius=r, verts=verts,
+                  inertia=calculate_polygon_inertia(verts, m),
+                  omega=rng.uniform(-2, 2), color=(200, 160, 40))
+    # gas drifters (Movement/Boundary only; rendered by the gas pass)
+    for _ in range(n_gas):
+        b.add(pos=(rng.uniform(0.1 * size, 0.9 * size),
+                   rng.uniform(0.05 * size, 0.25 * size)),
+              vel=(rng.uniform(-0.5, 0.5), rng.uniform(-0.2, 0.2)),
+              mass=1e-3, phase=int(Phase.GAS),
+              shape_kind=int(ShapeKind.CIRCLE), radius=0.01 * size / 6.0,
+              color=(150, 150, 200))
+    # fluid column (same layout as the dam break)
+    x_min, x_max = 0.16 * scale, size * 0.35
+    y_min, y_max = size * 0.2, size - 0.16 * scale
+    area = (x_max - x_min) * (y_max - y_min)
+    spacing = math.sqrt(area / n_fluid)
+    mass_f = 0.005 * (spacing / 0.0742) ** 2
+    n_cols = int((x_max - x_min) / spacing)
+    count = 0
+    for row in range((n_fluid + n_cols - 1) // n_cols):
+        for col in range(n_cols):
+            if count >= n_fluid:
+                break
+            b.add(pos=(x_min + (col + 0.5) * spacing,
+                       y_max - (row + 0.5) * spacing),
+                  mass=mass_f, phase=int(Phase.LIQUID),
+                  shape_kind=int(ShapeKind.CIRCLE), radius=0.02,
+                  static_friction=0.0, dynamic_friction=0.0,
+                  color=(20, 20 + count % 50, 200 + count % 55))
+            count += 1
+    return b.finalize(cfg, dtype=dtype or jnp.float32)
+
+
 def build_galaxy(n_bodies: int = 100000, seed: int = 0, dtype=None) -> Scene:
     """Barnes-Hut galaxy: central mass + power-law disk at scale
     (KEPLERIAN_DISK's physics, reference content, larger N)."""

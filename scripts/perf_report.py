@@ -80,6 +80,18 @@ def coupled(n_fluid, n_rigid, ticks=30, block=10):
           ms_per_tick=round(1000.0 / tps, 3))
 
 
+def highlight(n_fluid, n_rigid, n_gas, ticks=30, block=10):
+    from lpe_tpu.scenarios.bench_scenes import build_highlight_reel
+    from lpe_tpu.systems import build_run_fn
+
+    scene = build_highlight_reel(n_fluid, n_rigid, n_gas, seed=0)
+    run = build_run_fn(scene.spec, scene.cfg, ticks=block, donate=False)
+    tps, _ = _time_run(run, scene.state, block,
+                       blocks=max(1, ticks // block))
+    _emit(metric=f"highlight_{n_fluid}_{n_rigid}_{n_gas}",
+          ticks_per_sec=round(tps, 2), ms_per_tick=round(1000.0 / tps, 3))
+
+
 def galaxy(n, ticks=20, block=10):
     from lpe_tpu.scenarios.bench_scenes import build_galaxy
     from lpe_tpu.systems import build_run_fn
@@ -94,7 +106,7 @@ def galaxy(n, ticks=20, block=10):
 
 def main(argv):
     which = set(argv) or {"dam20k", "ablate", "dam100k", "rigid10k",
-                          "coupled", "galaxy"}
+                          "coupled", "galaxy", "highlight"}
     import jax
     _emit(device=str(jax.devices()[0]))
     if "dam20k" in which:
@@ -110,6 +122,8 @@ def main(argv):
         coupled(100000, 300, ticks=20)
     if "galaxy" in which:
         galaxy(1000000, ticks=10)
+    if "highlight" in which:
+        highlight(20000, 60, 200)
     return 0
 
 

@@ -109,13 +109,15 @@ def test_bench_scenes_build_and_tick():
     from lpe_tpu.scenarios.bench_scenes import (build_coupled_dam,
                                                 build_dam_break,
                                                 build_galaxy,
+                                                build_highlight_reel,
                                                 build_rigid_stacks)
     from lpe_tpu.systems import build_tick_fn
     from _util import light_cfg
     for sc in (build_dam_break(300, seed=0),
                build_rigid_stacks(60, seed=0),
                build_galaxy(500, seed=0),
-               build_coupled_dam(300, 5, seed=0)):
+               build_coupled_dam(300, 5, seed=0),
+               build_highlight_reel(300, 6, 10, seed=0)):
         tick = build_tick_fn(sc.spec, light_cfg(sc.cfg, 16), donate=False)
         s = tick(tick(sc.state))
         act = np.asarray(s.bodies.active)
