@@ -126,3 +126,16 @@ def test_tick_is_deterministic():
         a = tick(a)
         bstate = tick(bstate)
     assert (np.asarray(a.bodies.pos) == np.asarray(bstate.bodies.pos)).all()
+
+
+def test_hourglass_fluid_drains_through_neck():
+    """Left hourglass: the fluid packed in the top chamber drains through
+    the neck under gravity (reference content: src/scenarios/hourglasses.cpp
+    fluid chamber fill; neck at the universe midline y = size/2)."""
+    sc, s = run(ST.HOURGLASSES, 160, k=16)
+    size = sc.cfg.shared.universe_size_m
+    liq = sc.spec.liquid_slice
+    y0 = np.asarray(sc.state.bodies.pos)[liq][:, 1]
+    y1 = np.asarray(s.bodies.pos)[liq][:, 1]
+    assert (y1 > size * 0.5).mean() > 0.6   # most fluid passed the neck
+    assert y1.mean() > y0.mean() + 0.5      # column clearly descended
