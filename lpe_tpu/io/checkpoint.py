@@ -30,11 +30,20 @@ def save_state(path: str, state: SimState) -> None:
 
 
 def load_state(path: str, dtype=jnp.float32) -> SimState:
+    """Missing state fields (e.g. warm-start caches added after a
+    checkpoint was written) fall back to their make_state initializers so
+    old checkpoints stay loadable — resuming merely cold-starts the new
+    caches, which is always a valid solver state."""
+    from ..state import make_state
+
     z = np.load(path)
-    def get(name):
-        return jnp.asarray(z[name])
-    bfields = {f.name: get(f"bodies.{f.name}")
+    bfields = {f.name: jnp.asarray(z[f"bodies.{f.name}"])
                for f in dataclasses.fields(Bodies)}
-    sfields = {f.name: get(f.name) for f in dataclasses.fields(SimState)
-               if f.name != "bodies"}
-    return SimState(bodies=Bodies(**bfields), **sfields)
+    bodies = Bodies(**bfields)
+    mp, mc = (z["warm_normal"].shape if "warm_normal" in z else (1, 8))
+    defaults = make_state(bodies, max_pairs=int(mp), max_contacts=int(mc),
+                          dtype=dtype)
+    sfields = {f.name: (jnp.asarray(z[f.name]) if f.name in z
+                        else getattr(defaults, f.name))
+               for f in dataclasses.fields(SimState) if f.name != "bodies"}
+    return SimState(bodies=bodies, **sfields)

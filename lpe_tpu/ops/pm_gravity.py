@@ -178,7 +178,7 @@ def make_pm_gravity(universe: float, grid: int, softener: float,
 
 def make_pp_correction(universe: float, grid: int, softener: float,
                        cutoff_cells: float, max_per_cell: int,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, n_bodies: int | None = None):
     """Short-range particle-particle half of the P3M split (unscaled by G).
 
     Returns ``correct(pos[N,2], src_mass[N]) -> [N,2]``: the exact softened
@@ -187,15 +187,40 @@ def make_pp_correction(universe: float, grid: int, softener: float,
     ``make_pm_gravity(..., cutoff_cells=rc_cells)`` — together they telescope
     to the exact softened law below rc and the mesh's smooth field above.
 
-    Neighbor search is the framework's standard dense cell grid: cells rc
-    wide, 3x3 shifted-slice pair sweep (pure VPU work), deterministic first-K
-    per-cell residency (overflow particles get no correction — they keep the
-    smooth mesh force; same drop contract as the SPH grid)."""
+    Neighbor search is the framework's standard dense cell grid: cells
+    rc/m wide for a subdivision m in {1, 2} (scan window (2m+1)^2 shifted
+    slices, pure VPU work), deterministic first-K per-cell residency
+    (overflow particles get no correction — they keep the smooth mesh
+    force; same drop contract as the SPH grid).
+
+    **Occupancy sizing**: with ``n_bodies`` given, the per-cell cap K is
+    derived from the expected mean occupancy (3x headroom for clustering)
+    instead of trusting ``max_per_cell`` blindly — a 1M-body galaxy on a
+    1024 mesh with rc = 8 cells averages ~61 bodies per rc-cell, so a
+    fixed K=64 silently drops the short-range force exactly in the dense
+    regions the correction exists for. When the derived K exceeds 64 the
+    grid subdivides (m=2: 4x the cells, ~K/4 occupancy, 25-slice scan)
+    before growing K, keeping the pair tensors bounded. The returned
+    function carries ``correct.overflow_fraction(pos) -> float`` — the
+    fraction of in-bounds bodies past their cell's K (no correction) —
+    so dense scenes can surface the degradation instead of hiding it."""
     cell = universe / int(grid)
     rc = cutoff_cells * cell
     r0, rw = _ramp(rc, cell)
     K = int(max_per_cell)
+    m = 1
     nc = int(math.ceil(universe / rc))
+    if n_bodies is not None:
+        need = int(math.ceil(3.0 * n_bodies / float(nc * nc)))
+        if need > 64:
+            # subdivide before growing K: 4x cells, ~1/4 occupancy each
+            m = 2
+            nc = int(math.ceil(universe / (rc / m)))
+            need = int(math.ceil(3.0 * n_bodies / float(nc * nc)))
+        # config K is a floor (never drop MORE pairs than asked), the
+        # occupancy-derived need grows it, 128 bounds the pair tensors
+        K = min(max(K, need), 128)
+    ccell = rc / m                     # actual cell width
     ncells = nc * nc
     s2c = float(softener) * float(softener)
     rc2 = rc * rc
@@ -203,8 +228,8 @@ def make_pp_correction(universe: float, grid: int, softener: float,
     def correct(pos, src_mass):
         N = pos.shape[0]
         x, y = pos[:, 0], pos[:, 1]
-        gx = jnp.floor(x / rc).astype(jnp.int32)
-        gy = jnp.floor(y / rc).astype(jnp.int32)
+        gx = jnp.floor(x / ccell).astype(jnp.int32)
+        gy = jnp.floor(y / ccell).astype(jnp.int32)
         ok = (gx >= 0) & (gx < nc) & (gy >= 0) & (gy < nc)
         cid = jnp.where(ok, gy * nc + gx, ncells)
         order = jnp.argsort(cid, stable=False)
@@ -222,11 +247,11 @@ def make_pp_correction(universe: float, grid: int, softener: float,
             flat = jnp.zeros((ncells * K + 1,), dtype)
             flat = flat.at[slot_p].set(f.astype(dtype), mode="drop")
             return jnp.pad(flat[:ncells * K].reshape(nc, nc, K),
-                           ((1, 1), (1, 1), (0, 0)))
+                           ((m, m), (m, m), (0, 0)))
 
         Dx, Dy = scat(x), scat(y)
         Dm, Do = scat(src_mass), scat(jnp.ones_like(x))
-        ctr = lambda v: v[1:-1, 1:-1]
+        ctr = lambda v: v[m:-m, m:-m]
         cx = ctr(Dx)[..., :, None]            # [nc, nc, K, 1]
         cy = ctr(Dy)[..., :, None]
         co = ctr(Do)[..., :, None]
@@ -234,15 +259,15 @@ def make_pp_correction(universe: float, grid: int, softener: float,
         diag = kk[:, None] == kk[None, :]
         accx = jnp.zeros((nc, nc, K), dtype)
         accy = jnp.zeros((nc, nc, K), dtype)
-        for dy_ in (0, 1, 2):
-            for dx_ in (0, 1, 2):
+        for dy_ in range(2 * m + 1):
+            for dx_ in range(2 * m + 1):
                 sl = lambda v: jax.lax.slice(
                     v, (dy_, dx_, 0), (dy_ + nc, dx_ + nc, K))[..., None, :]
                 ddx = sl(Dx) - cx             # j - i -> [nc, nc, K, K]
                 ddy = sl(Dy) - cy
                 d2g = ddx * ddx + ddy * ddy
                 pair = (co * sl(Do)) > 0
-                if dy_ == 1 and dx_ == 1:
+                if dy_ == m and dx_ == m:
                     pair = pair & ~diag
                 pair = pair & (d2g < rc2)
                 w = (1.0 - _smoothstep5((jnp.sqrt(d2g) - r0) / rw)) \
@@ -261,6 +286,22 @@ def make_pp_correction(universe: float, grid: int, softener: float,
         ay = jnp.where(res, fy_flat[s], 0.0)
         return jnp.stack([ax, ay], axis=-1)
 
+    def overflow_fraction(pos) -> float:
+        """Host diagnostic: fraction of in-bounds bodies whose cell rank
+        is past K (they silently keep only the rolled-off mesh force)."""
+        p = np.asarray(pos, np.float64)
+        gx = np.floor(p[:, 0] / ccell).astype(np.int64)
+        gy = np.floor(p[:, 1] / ccell).astype(np.int64)
+        ok = (gx >= 0) & (gx < nc) & (gy >= 0) & (gy < nc)
+        if not ok.any():
+            return 0.0
+        cnt = np.bincount(gy[ok] * nc + gx[ok], minlength=ncells)
+        return float(np.maximum(cnt - K, 0).sum() / ok.sum())
+
+    correct.overflow_fraction = overflow_fraction
+    correct.K = K
+    correct.subdivision = m
+    correct.ncells = ncells
     return correct
 
 

@@ -97,7 +97,8 @@ def make_barnes_hut(spec: SceneSpec, cfg: ScenarioSystemConfig):
                              cutoff_cells=bh.p3m_cutoff_cells)
         pp = (make_pp_correction(size, bh.pm_grid,
                                  sh.gravitational_softener,
-                                 bh.p3m_cutoff_cells, bh.p3m_max_per_cell)
+                                 bh.p3m_cutoff_cells, bh.p3m_max_per_cell,
+                                 n_bodies=n)
               if bh.p3m_cutoff_cells > 0 else None)
         heavy_direct = make_heavy_direct(bh.heavy_cap,
                                          sh.gravitational_softener)

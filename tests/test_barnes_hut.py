@@ -130,6 +130,55 @@ def test_p3m_close_pairs_beat_plain_pm():
     assert np.percentile(err_p3m, 95) < 0.5 * np.percentile(err_pm, 95)
 
 
+def test_p3m_accuracy_gate_clustered():
+    """CI gate for the P3M accuracy claim (README: blob p95 7% -> 0.9% vs
+    plain PM): p95 relative force error vs the exact direct sum on a
+    CLUSTERED blob stays under 1% with the default BarnesHutConfig."""
+    sc = _blob_scene(n=600, cluster=True, seed=7)
+    err = _pm_vs_direct_err(
+        sc, BarnesHutConfig(direct_sum_max_bodies=1))
+    assert np.percentile(err, 95) < 0.01
+
+
+def test_p3m_occupancy_sizing_and_overflow_diag():
+    """The PP cap must scale with expected occupancy (advisor finding: a
+    1M-body galaxy overflows a fixed K=64 and silently loses short-range
+    gravity in the dense core). Build-time sizing from n_bodies must (a)
+    grow K / subdivide the grid so a dense clump is NOT dropped, and (b)
+    expose the dropped fraction via overflow_fraction."""
+    from lpe_tpu.ops.pm_gravity import make_pp_correction
+    uni = 1e10
+    rng = np.random.default_rng(3)
+    # one tight clump of 500 in a single rc-cell (rc = 8 * uni/1024)
+    rc = 8.0 * uni / 1024
+    pts = np.full((500, 2), 0.5 * uni) + rng.normal(0, 0.05 * rc, (500, 2))
+    pos = np.asarray(pts, np.float32)
+    mass = np.ones((500,), np.float32)
+    # legacy sizing: fixed K=8, no n_bodies -> heavy overflow
+    pp_old = make_pp_correction(uni, 1024, 1e6, 8.0, 8)
+    assert pp_old.overflow_fraction(pos) > 0.5
+    # occupancy-aware sizing: tiny config cap, but n_bodies drives K up
+    # (mean occupancy 10/cell over 128x128 rc-cells -> need = 30)
+    pp_new = make_pp_correction(uni, 1024, 1e6, 8.0, 8,
+                                n_bodies=10 * 128 * 128)
+    assert pp_new.K > 8
+    # the subdivision path triggers when mean need exceeds 64
+    # (mean 30/cell -> need 90 > 64 -> m=2; the 1M-galaxy regime)
+    pp_sub = make_pp_correction(uni, 1024, 1e6, 8.0, 64,
+                                n_bodies=30 * 128 * 128)
+    assert pp_sub.subdivision == 2
+    # physics sanity on the subdivided grid: two bodies rc/4 apart get the
+    # same corrected force as the m=1 grid computes
+    import jax.numpy as jnp
+    p2 = np.array([[0.5 * uni, 0.5 * uni],
+                   [0.5 * uni + rc / 4, 0.5 * uni]], np.float32)
+    m2 = np.ones((2,), np.float32)
+    f1 = np.asarray(pp_old(jnp.asarray(p2), jnp.asarray(m2)))
+    f2 = np.asarray(pp_sub(jnp.asarray(p2), jnp.asarray(m2)))
+    assert np.allclose(f1, f2, rtol=1e-5)
+    assert np.abs(f1).max() > 0.0
+
+
 def test_pm_heavy_body_is_exact():
     """Heavy bodies bypass the mesh: a central-mass orbit force under PM
     must match the direct sum to float precision."""
