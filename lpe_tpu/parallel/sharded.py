@@ -58,6 +58,22 @@ def shard_state(mesh: Mesh, state: SimState) -> SimState:
     return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
 
 
+def _platform_cfg(cfg, mesh: Mesh):
+    """'auto' Pallas/residency selections key off the *default* backend; a
+    CPU mesh under a TPU-default process must fall back to the XLA scatter
+    path."""
+    platform = mesh.devices.ravel()[0].platform
+    if platform != "tpu":
+        repl = {}
+        if cfg.fluid.pair_backend == "auto":
+            repl["pair_backend"] = "xla"
+        if cfg.fluid.residency == "auto":
+            repl["residency"] = "off"
+        if repl:
+            cfg = cfg.replace(fluid=dataclasses.replace(cfg.fluid, **repl))
+    return cfg
+
+
 def build_sharded_tick(scene: Scene, mesh: Mesh, donate: bool = False):
     """Jitted tick with explicit input/output shardings over ``mesh``.
 
@@ -66,19 +82,7 @@ def build_sharded_tick(scene: Scene, mesh: Mesh, donate: bool = False):
     than one device and ``cfg.fluid.partition`` is "auto"/"halo"; everything
     else (elementwise systems, rigid pipeline, gravity) stays GSPMD-sharded
     on the entity axis."""
-    cfg = scene.cfg
-    platform = mesh.devices.ravel()[0].platform
-    if platform != "tpu":
-        # the "auto" Pallas/residency selections key off the *default*
-        # backend; a CPU mesh under a TPU-default process must fall back to
-        # the XLA scatter path
-        repl = {}
-        if cfg.fluid.pair_backend == "auto":
-            repl["pair_backend"] = "xla"
-        if cfg.fluid.residency == "auto":
-            repl["residency"] = "off"
-        if repl:
-            cfg = cfg.replace(fluid=dataclasses.replace(cfg.fluid, **repl))
+    cfg = _platform_cfg(scene.cfg, mesh)
     use_halo = (cfg.fluid.partition in ("auto", "halo")
                 and mesh.devices.size > 1 and scene.spec.n_liquid > 0)
     tick = build_tick_fn(scene.spec, cfg, jit=False,
@@ -86,4 +90,25 @@ def build_sharded_tick(scene: Scene, mesh: Mesh, donate: bool = False):
                          fluid_axis=AXIS)
     sh = state_shardings(mesh, scene.state)
     return jax.jit(tick, in_shardings=(sh,), out_shardings=sh,
+                   donate_argnums=(0,) if donate else ())
+
+
+def build_sharded_run(scene: Scene, mesh: Mesh, *, ticks: int,
+                      donate: bool = False):
+    """Block dispatch of ``ticks`` ticks with explicit shardings — the
+    multi-chip counterpart of systems.build_run_fn. Under the halo path the
+    fluid band blocks additionally stay device-resident across the WHOLE
+    block (sph.py step_halo grid_* hooks): one all-gather build at block
+    start, one reduce-scatter at block end; per-tick communication is the
+    O(nx*K) ppermute halo rows plus one [NR] psum."""
+    from ..systems import build_run_fn
+
+    cfg = _platform_cfg(scene.cfg, mesh)
+    use_halo = (cfg.fluid.partition in ("auto", "halo")
+                and mesh.devices.size > 1 and scene.spec.n_liquid > 0)
+    run = build_run_fn(scene.spec, cfg, ticks=ticks, jit=False,
+                       fluid_mesh=mesh if use_halo else None,
+                       fluid_axis=AXIS)
+    sh = state_shardings(mesh, scene.state)
+    return jax.jit(run, in_shardings=(sh,), out_shardings=sh,
                    donate_argnums=(0,) if donate else ())

@@ -713,8 +713,13 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         def _cand_rows(R, rows, row_off=0):
             """Per padded row: ids of rigids whose AABB spans the row's
             y-range (+1-cell slack), lowest-id first, sentinel-NR filled.
-            [rows, RC] int32. Once per tick (proxies are tick constants)."""
-            ry0 = (jnp.arange(rows) - 2 + row_off).astype(jnp.float32) * cell
+            [rows, RC] int32. Once per tick (proxies are tick constants).
+
+            Geometry: padded row p holds particles with y in
+            [(p-3)*cell, (p-2)*cell) — gy = floor(y/cell) - gmin with
+            gmin = -2, plus the 1-row dense padding. The window below is
+            that span widened by one cell of slack on each side."""
+            ry0 = (jnp.arange(rows) - 4 + row_off).astype(jnp.float32) * cell
             ry1 = ry0 + 3.0 * cell
             ov = (R["miny"][None, :] <= ry1[:, None]) & \
                  (R["maxy"][None, :] >= ry0[:, None]) & R["valid"][None, :]
@@ -725,12 +730,18 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         def _cpl_mask(rm, R, row_off=0):
             """[rows, NT] int32: tile has particles AND a rigid AABB within
             a one-cell slack (coupling is a no-op outside the AABB). ``rm``
-            is the per-(row, tile) occupancy bound from _tile_bounds*."""
+            is the per-(row, tile) occupancy bound from _tile_bounds*.
+
+            Same apron geometry as _cand_rows: padded column c holds
+            particles with x in [(c-3)*cell, (c-2)*cell), so tile t
+            (padded cols [t*TX, t*TX+TX)) spans x in
+            [(t*TX-3)*cell, (t*TX+TX-2)*cell) — widened by one cell of
+            slack on each side below."""
             dt_ = R["pos"].dtype
-            tx0 = (jnp.arange(_NT) * _TX - 2).astype(dt_) * cell
-            tx1 = tx0 + (_TX + 2) * cell
+            tx0 = (jnp.arange(_NT) * _TX - 4).astype(dt_) * cell
+            tx1 = tx0 + (_TX + 3) * cell
             rows = rm.shape[0]
-            ry0 = (jnp.arange(rows) - 2 + row_off).astype(dt_) \
+            ry0 = (jnp.arange(rows) - 4 + row_off).astype(dt_) \
                 * cell
             ry1 = ry0 + 3.0 * cell
             ovx = (R["minx"][None, :] <= tx1[:, None]) & \
@@ -1393,10 +1404,13 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         return {n: fields[n].at[0].set(from_prev[i]).at[-1].set(from_next[i])
                 for i, n in enumerate(names)}
 
-    def _halo_core(xl, yl, vxl, vyl, ml, R):
+    def _halo_build_core(xl, yl, vxl, vyl, ml):
+        """All-gather the particle slice and build my band's dense block.
+        Once per tick — or once per dispatch BLOCK under cross-tick
+        residency (the hooks below), which drops the per-tick O(N)
+        all-gather/reduce-scatter to the per-sub-step O(nx*K) halo rows."""
         ai = jax.lax.axis_index(axis)
         row0 = ai * band                     # my first global interior row
-        # ---- gather all particles; build my band's dense block -----------
         P5 = jnp.stack([xl, yl, vxl, vyl, ml])
         P5 = jax.lax.all_gather(P5, axis, axis=1, tiled=True)   # [5, NLp]
         x, y, vx, vy, m = P5
@@ -1433,18 +1447,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         D0 = dict(x=scat(x), y=scat(y), vx=scat(vx), vy=scat(vy),
                   m=scat(m), id=scat(idf), occ=scat(jnp.ones_like(x)))
         zd = jnp.zeros_like(D0["x"])
-        D0 = dict(D0, hx=zd, hy=zd, ax=zd, ay=zd, rho=zd, p=zd)
-        # rigid accumulators start replicated (zeros) but collect
-        # device-local partial sums in the loop: mark them varying so the
-        # fori_loop carry types stay consistent (psum'd once at tick end)
-        vary = lambda v: jax.lax.pcast(v, (axis,), to="varying")
-        carry0 = dict(D=D0,
-                      Fx=vary(jnp.zeros((max(NR, 1),), x.dtype)),
-                      Fy=vary(jnp.zeros((max(NR, 1),), x.dtype)),
-                      Tq=vary(jnp.zeros((max(NR, 1),), x.dtype)))
-        if use_cpl_kernel:
-            rig_tab = _rigid_table(R)
-            cand_tab = _cand_rows(R, band + 2, row_off=row0)
+        return dict(D0, hx=zd, hy=zd, ax=zd, ay=zd, rho=zd, p=zd)
+
+    def _make_halo_substep(R, rig_tab, cand_tab, row0):
 
         def substep(_, cr):
             D = cr["D"]
@@ -1519,13 +1524,39 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             return dict(D=D2, Fx=cr["Fx"] + dFx, Fy=cr["Fy"] + dFy,
                         Tq=cr["Tq"] + dTq)
 
-        cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
-        D = cr["D"]
+        return substep
 
-        # ---- readback: reduce-scatter by particle id ----------------------
+    def _halo_tick_core(D, R):
+        """One tick of sub-steps on the resident band blocks. Per-tick
+        collectives: 3 one-row ppermute halo exchanges per sub-step plus
+        one psum of the [NR] rigid accumulators — no O(N) gathers."""
+        ai = jax.lax.axis_index(axis)
+        row0 = ai * band
+        rig_tab = cand_tab = None
+        if use_cpl_kernel:
+            rig_tab = _rigid_table(R)
+            cand_tab = _cand_rows(R, band + 2, row_off=row0)
+        zd = jnp.zeros_like(D["x"])
+        # rigid accumulators start replicated (zeros) but collect
+        # device-local partial sums in the loop: mark them varying so the
+        # fori_loop carry types stay consistent (psum'd once at tick end)
+        vary = lambda v: jax.lax.pcast(v, (axis,), to="varying")
+        # accelerations reset at tick start, like _grid_tick
+        carry0 = dict(D=dict(D, ax=zd, ay=zd),
+                      Fx=vary(jnp.zeros((max(NR, 1),), zd.dtype)),
+                      Fy=vary(jnp.zeros((max(NR, 1),), zd.dtype)),
+                      Tq=vary(jnp.zeros((max(NR, 1),), zd.dtype)))
+        substep = _make_halo_substep(R, rig_tab, cand_tab, row0)
+        cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
+        Fx = jax.lax.psum(cr["Fx"], axis)
+        Fy = jax.lax.psum(cr["Fy"], axis)
+        Tq = jax.lax.psum(cr["Tq"], axis)
+        return cr["D"], Fx, Fy, Tq
+
+    def _halo_read_core(D):
+        """Reduce-scatter the band blocks back to particle order by id."""
         def intr(v):
-            iv = _interior(v)
-            return iv.reshape(-1)
+            return _interior(v).reshape(-1)
 
         flat_id = jnp.round(intr(D["id"])).astype(jnp.int32)
         occf = intr(D["occ"]) > 0
@@ -1535,37 +1566,66 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                        + [jnp.ones_like(intr(D["x"]))])
         buf = jnp.zeros((7, NLp + 1), F7.dtype)
         buf = buf.at[:, tgt].set(F7, mode="drop")[:, :NLp]
-        out7 = jax.lax.psum_scatter(buf, axis, scatter_dimension=1,
+        return jax.lax.psum_scatter(buf, axis, scatter_dimension=1,
                                     tiled=True)                # [7, NLp/ND]
-        Fx = jax.lax.psum(cr["Fx"], axis)
-        Fy = jax.lax.psum(cr["Fy"], axis)
-        Tq = jax.lax.psum(cr["Tq"], axis)
-        return out7, Fx, Fy, Tq
 
     _spec_p = _P(axis)
-    _halo_sm = _shard_map(
-        _halo_core, mesh=mesh,
-        in_specs=(_spec_p, _spec_p, _spec_p, _spec_p, _spec_p, _P()),
-        out_specs=(_P(None, axis), _P(), _P(), _P()))
+    _spec_D = _P(axis)       # band blocks: leading (row-block) dim sharded
+    _build_sm = _shard_map(
+        _halo_build_core, mesh=mesh,
+        in_specs=(_spec_p,) * 5, out_specs=_spec_D)
+    _tick_sm = _shard_map(
+        _halo_tick_core, mesh=mesh, in_specs=(_spec_D, _P()),
+        out_specs=(_spec_D, _P(), _P(), _P()))
+    _read_sm = _shard_map(
+        _halo_read_core, mesh=mesh, in_specs=(_spec_D,),
+        out_specs=_P(None, axis))
 
-    def step_halo(state: SimState) -> SimState:
-        b = state.bodies
+    def _liquid_cols(b):
         pad1 = lambda v: jnp.pad(v, (0, NLp - NL))
-        x = pad1(b.pos[L0:L0 + NL, 0])
-        y = pad1(b.pos[L0:L0 + NL, 1])
-        vx = pad1(b.vel[L0:L0 + NL, 0])
-        vy = pad1(b.vel[L0:L0 + NL, 1])
-        mass = pad1(b.mass[L0:L0 + NL])
-        R = (_rigid_proxies(b, NR, spec.max_rigid_verts) if NR > 0
-             else dict(_unused=jnp.zeros((1,), x.dtype)))
-        out7, Fx, Fy, Tq = _halo_sm(x, y, vx, vy, mass, R)
-        res = out7[6, :NL] > 0    # particle was grid-resident this tick
+        return (pad1(b.pos[L0:L0 + NL, 0]), pad1(b.pos[L0:L0 + NL, 1]),
+                pad1(b.vel[L0:L0 + NL, 0]), pad1(b.vel[L0:L0 + NL, 1]),
+                pad1(b.mass[L0:L0 + NL]))
+
+    def _rig_or_dummy(b, dt_):
+        return (_rigid_proxies(b, NR, spec.max_rigid_verts) if NR > 0
+                else dict(_unused=jnp.zeros((1,), dt_)))
+
+    def _halo_build(state: SimState):
+        return _build_sm(*_liquid_cols(state.bodies))
+
+    def _halo_tick(state: SimState, D):
+        R = _rig_or_dummy(state.bodies, D["x"].dtype)
+        D2, Fx, Fy, Tq = _tick_sm(D, R)
+        return _finalize_rigid(state, Fx, Fy, Tq), D2
+
+    def _halo_readback(state: SimState, D):
+        b = state.bodies
+        out7 = _read_sm(D)
+        res = out7[6, :NL] > 0    # particle was grid-resident this block
         def rb(i, old):
             return jnp.where(res, out7[i, :NL], old)
-        return _finalize(
+        return _finalize_liquid(
             state,
-            rb(0, x[:NL]), rb(1, y[:NL]), rb(2, vx[:NL]), rb(3, vy[:NL]),
-            rb(4, b.density[L0:L0 + NL]), rb(5, b.pressure[L0:L0 + NL]),
-            Fx, Fy, Tq)
+            rb(0, b.pos[L0:L0 + NL, 0]), rb(1, b.pos[L0:L0 + NL, 1]),
+            rb(2, b.vel[L0:L0 + NL, 0]), rb(3, b.vel[L0:L0 + NL, 1]),
+            rb(4, b.density[L0:L0 + NL]), rb(5, b.pressure[L0:L0 + NL]))
+
+    def step_halo(state: SimState) -> SimState:
+        state2, D = _halo_tick(state, _halo_build(state))
+        return _halo_readback(state2, D)
+
+    # cross-tick residency hooks (consumed by systems.build_run_fn): the
+    # band blocks stay device-resident across a whole dispatch block —
+    # _grid_boundary/_grid_gravity are elementwise on the planes, so they
+    # apply shard-locally to the stacked band blocks unchanged. Halo rows
+    # go stale between ticks but every sub-step re-exchanges them before
+    # use. VERDICT r1 #6: per-tick collectives drop from O(N) all-gather +
+    # reduce-scatter to the O(nx*K) ppermute rows (+ one [NR] psum).
+    step_halo.grid_build = _halo_build
+    step_halo.grid_tick = _halo_tick
+    step_halo.grid_readback = _halo_readback
+    step_halo.grid_boundary = _grid_boundary
+    step_halo.grid_gravity = _grid_gravity
 
     return step_halo

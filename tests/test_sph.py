@@ -302,6 +302,62 @@ def test_pallas_coupling_kernel_matches_xla():
                        np.asarray(s_p.bodies.vel)[:1], atol=1e-5)
 
 
+def _wall_contact_scene(seed=2, n=40, maxy=0.425):
+    """Particles straddling a wall's TOP face, with the wall's maxy
+    deliberately mid-row (not a multiple of cell=0.05): the regression
+    geometry for the coupling candidate-window off-by-two (the row/tile
+    windows ignored the 2-cell apron + 1-row padding, dropping rigids
+    whose maxy fell inside a row's span from that row's candidates)."""
+    import dataclasses
+    from lpe_tpu.core.config import ScenarioSystemConfig, SharedSystemConfig
+    from lpe_tpu.core.constants import Phase
+    from lpe_tpu.scene import SceneBuilder
+    universe = 1.5
+    cfg = ScenarioSystemConfig(
+        shared=SharedSystemConfig(universe_size_m=universe))
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder("wallcontact")
+    half_h = 0.125
+    assert (maxy / 0.05) % 1.0 == 0.5       # mid-row by construction
+    b.add_wall(universe / 2, maxy - half_h, 0.4, half_h)
+    for _ in range(n):
+        # band straddling the wall top: some inside the AABB, some above
+        b.add(pos=(float(rng.uniform(0.45, 1.05)),
+                   float(rng.uniform(maxy - 0.03, maxy + 0.03))),
+              vel=(0.0, float(rng.uniform(-0.2, 0.0))),
+              mass=0.005, phase=int(Phase.LIQUID), radius=0.02)
+    return b.finalize(cfg)
+
+
+def test_coupling_fires_at_mid_row_wall_face():
+    """Regression for the candidate-window apron offset: a rigid whose
+    max-y face lies mid-row must still couple with the fluid band at that
+    face on the Pallas path, and the Pallas path must match XLA."""
+    sc = _wall_contact_scene()
+    y0 = np.asarray(sc.state.bodies.pos)[:, 1]
+    liq = sc.spec.liquid_slice
+    inside0 = int((y0[liq] < 0.425).sum())
+    assert inside0 >= 5                      # scene really overlaps the wall
+    s_x = _run_fluid(sc, "on", ticks=2, pair_backend="xla")
+    s_p = _run_fluid(sc, "on", ticks=2, pair_backend="pallas")
+    px = np.asarray(s_x.bodies.pos)[liq]
+    pp = np.asarray(s_p.bodies.pos)[liq]
+    vx = np.asarray(s_x.bodies.vel)[liq]
+    vp = np.asarray(s_p.bodies.vel)[liq]
+    # (a) coupling is actually nonzero: the position solver pushed the
+    # initially-penetrating particles up out of the wall
+    pushed = pp[:, 1] - y0[liq]
+    assert (pushed[y0[liq] < 0.425] > 1e-4).any()
+    # (b) the Pallas coupling path agrees with XLA — this diverged by
+    # ~0.026 m/tick before the window fix
+    assert np.allclose(px, pp, atol=1e-5)
+    assert np.allclose(vx, vp, atol=1e-4)
+    # (c) sweep backend routes coupling through the same kernel
+    s_s = _run_fluid(sc, "on", ticks=2, pair_backend="sweep")
+    ps = np.asarray(s_s.bodies.pos)[liq]
+    assert np.allclose(px, ps, atol=1e-5)
+
+
 def test_grid_neighbor_count_cap_is_deterministic():
     # 200 particles in one cell: run twice, identical results (the reference's
     # atomic 64-cap is racy; ours must be deterministic)
