@@ -1,35 +1,35 @@
 #!/usr/bin/env python
-"""Headline benchmark: SPH dam-break throughput on the accelerator vs. the
-measured native-C++ CPU reference engine (the upstream reference publishes no
-numbers — BASELINE.md), on the identical workload.
+"""Benchmarks: every BASELINE.md config on the accelerator vs the measured
+native-C++ CPU reference engines (the upstream reference publishes no
+numbers — BASELINE.md; denominators: native/sph_ref.cpp,
+native/engine_ref.cpp).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+Prints ONE JSON line per config, the HEADLINE (SPH dam break) LAST:
+  {"metric": ..., "value": N, "unit": "ticks/s", "vs_baseline": N, ...}
 
 - value: simulation ticks/sec on the default JAX device (1 tick = 10 SPH
   sub-steps at the 120 TPS design rate, reference: fluid.hpp:198).
-- vs_baseline: speedup over the native C++ grid-SPH engine
-  (native/sph_ref.cpp, single process like the reference) measured in-process
-  on the same particle set; falls back to the vectorized NumPy oracle when no
-  compiler is available.
+- vs_baseline: speedup over the native engine on the identical workload,
+  measured in-process on this host's CPU.
 
-Env knobs: BENCH_N (particles), BENCH_TICKS, BENCH_ORACLE_TICKS,
+Env knobs: BENCH_CONFIGS (comma list: rigid,galaxy,coupled,highlight,dam;
+default all), BENCH_N (dam particles), BENCH_TICKS, BENCH_ORACLE_TICKS,
 BENCH_BLOCK (ticks per device dispatch).
 """
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
 
-N_PARTICLES = int(os.environ.get("BENCH_N", "20000"))
+N_PARTICLES = int(os.environ.get("BENCH_N", "100000"))
 TICKS = int(os.environ.get("BENCH_TICKS", "60"))
 ORACLE_TICKS = int(os.environ.get("BENCH_ORACLE_TICKS", "3"))
-# ticks per dispatch: state stays on device across the whole run either
-# way; blocking amortizes the per-dispatch host/tunnel overhead (~ms) that
-# a real headless run (lpe_tpu.systems.build_run_fn) also avoids
 BLOCK = max(1, int(os.environ.get("BENCH_BLOCK", "10")))
+CONFIGS = os.environ.get("BENCH_CONFIGS",
+                         "rigid,galaxy,coupled,highlight,dam").split(",")
 
 
 def _accelerator_reachable(timeout_s: float = 180.0) -> bool:
@@ -46,40 +46,165 @@ def _accelerator_reachable(timeout_s: float = 180.0) -> bool:
         return False
 
 
-def main():
-    global N_PARTICLES, TICKS
-    fallback = None
-    if not _accelerator_reachable():
-        # degraded mode: finish with a CPU measurement rather than hang
-        fallback = "accelerator unreachable; CPU backend, reduced workload"
-        N_PARTICLES = min(N_PARTICLES, 5000)
-        TICKS = min(TICKS, 10)
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+def _emit(metric, dev_tps, cpu_tps, baseline, extra=None, fallback=None):
     import jax
+    out = {
+        "metric": metric,
+        "value": round(dev_tps, 3),
+        "unit": "ticks/s",
+        "vs_baseline": round(dev_tps / cpu_tps, 2) if cpu_tps else None,
+        "device": str(jax.devices()[0]),
+        "baseline": baseline,
+        "cpu_ticks_per_sec": round(cpu_tps, 4),
+    }
+    if extra:
+        out.update(extra)
+    if fallback:
+        out["fallback"] = fallback
+    print(json.dumps(out), flush=True)
+
+
+def _time_device(scene, ticks, block, warm_blocks=1):
+    """ticks/s of the full tick pipeline via build_run_fn; hard-syncs with
+    np.asarray (block_until_ready can return early through the tunnel)."""
     import numpy as np
-
-    from lpe_tpu.scenarios.bench_scenes import build_dam_break
     from lpe_tpu.systems import build_run_fn
-
-    scene = build_dam_break(N_PARTICLES, seed=0)
-    run = build_run_fn(scene.spec, scene.cfg, ticks=BLOCK, donate=False)
-    state = run(scene.state)                        # compile + BLOCK ticks
-    _ = np.asarray(state.bodies.pos)                # hard sync (block_until_
-    # best of two windows: the tunneled device occasionally stalls for
-    # tens of seconds, which would poison a single measurement
-    blocks = max(1, TICKS // BLOCK)
-    dev_tps = 0.0
-    for _ in range(2):
+    run = build_run_fn(scene.spec, scene.cfg, ticks=block, donate=False)
+    state = run(scene.state)                    # compile + first block
+    _ = np.asarray(state.bodies.pos)
+    for _i in range(warm_blocks - 1):
+        state = run(state)
+    _ = np.asarray(state.bodies.pos)
+    blocks = max(1, ticks // block)
+    best = 0.0
+    for _i in range(2):   # best of two: the tunnel occasionally stalls
         t0 = time.perf_counter()
-        for _ in range(blocks):
+        for _j in range(blocks):
             state = run(state)
         _ = np.asarray(state.bodies.pos)
-        dev_tps = max(dev_tps,
-                      blocks * BLOCK / (time.perf_counter() - t0))
-    assert bool(jax.numpy.isfinite(state.bodies.pos).all()), "non-finite state"
+        best = max(best, blocks * block / (time.perf_counter() - t0))
+    import jax.numpy as jnp
+    assert bool(jnp.isfinite(state.bodies.pos).all()), "non-finite state"
+    return best, state
 
-    # CPU reference on the identical workload
+
+def _rigid_arrays(sc):
+    import numpy as np
+    b = sc.state.bodies
+    sol = np.asarray(b.phase) == 0
+    sol &= np.asarray(b.active)
+    idx = np.nonzero(sol)[0]
+    return dict(
+        pos=np.asarray(b.pos, np.float64)[idx],
+        vel=np.asarray(b.vel, np.float64)[idx],
+        ang=np.asarray(b.angle, np.float64)[idx],
+        om=np.asarray(b.omega, np.float64)[idx],
+        mass=np.asarray(b.mass, np.float64)[idx],
+        inertia=np.asarray(b.inertia, np.float64)[idx],
+        verts=np.asarray(b.verts, np.float64)[idx],
+        nv=np.asarray(b.nverts, np.int32)[idx],
+        rad=np.asarray(b.radius, np.float64)[idx],
+        circ=(np.asarray(b.shape_kind)[idx] == 0).astype(np.uint8),
+        isw=np.asarray(b.boundary)[idx].astype(np.uint8))
+
+
+def _bound_kw(sc):
+    return dict(universe=sc.cfg.shared.universe_size_m,
+                margin=sc.cfg.boundary.margin_pixels
+                * sc.cfg.shared.meters_per_pixel)
+
+
+def bench_rigid(n_bodies, oracle_ticks, fallback):
+    import numpy as np
+    from lpe_tpu.oracle.native import NativeRigidOracle
+    from lpe_tpu.scenarios.bench_scenes import build_rigid_stacks
+    sc = build_rigid_stacks(n_bodies, seed=0)
+    dev_tps, _ = _time_device(sc, max(10, TICKS // 2), BLOCK)
+    A = _rigid_arrays(sc)
+    o = NativeRigidOracle(**_bound_kw(sc))
+    args = (A["pos"], A["vel"], A["ang"], A["om"], A["mass"], A["inertia"],
+            A["verts"], A["nv"], A["rad"], A["circ"], A["isw"])
+    # settle so the native engine is timed at realistic contact density
+    p, v, a, w = o.run(*args, 30)
+    t0 = time.perf_counter()
+    o.run(p, v, a, w, *args[4:], oracle_ticks)
+    cpu_tps = oracle_ticks / (time.perf_counter() - t0)
+    _emit(f"rigid_stacks_{n_bodies}_ticks_per_sec", dev_tps, cpu_tps,
+          "native_cpp_rigid", {"n_bodies": n_bodies}, fallback)
+
+
+def bench_galaxy(n_bodies, oracle_ticks, fallback):
+    import numpy as np
+    from lpe_tpu.core.constants import REAL_G
+    from lpe_tpu.oracle.native import NativeNBodyOracle
+    from lpe_tpu.scenarios.bench_scenes import build_galaxy
+    sc = build_galaxy(n_bodies, seed=0)
+    dev_tps, _ = _time_device(sc, max(10, TICKS // 2), BLOCK)
+    b = sc.state.bodies
+    o = NativeNBodyOracle(
+        G=REAL_G, soft=sc.cfg.shared.gravitational_softener,
+        dt=sc.cfg.shared.seconds_per_tick * sc.cfg.shared.time_acceleration,
+        universe=sc.cfg.shared.universe_size_m)
+    t0 = time.perf_counter()
+    o.run(np.asarray(b.pos, np.float64), np.asarray(b.vel, np.float64),
+          np.asarray(b.mass, np.float64), oracle_ticks)
+    cpu_tps = oracle_ticks / (time.perf_counter() - t0)
+    _emit(f"galaxy_{n_bodies}_ticks_per_sec", dev_tps, cpu_tps,
+          "native_cpp_bh", {"n_bodies": n_bodies}, fallback)
+
+
+def _coupled_baseline(sc, oracle_ticks):
+    import numpy as np
+    from lpe_tpu.oracle.native import NativeCoupledOracle
+    b = sc.state.bodies
+    act = np.asarray(b.active)
+    ph = np.asarray(b.phase)
+    liq = act & (ph == 1)
+    gas = act & (ph == 2)
+    fpos = np.asarray(b.pos, np.float64)[liq]
+    fvel = np.asarray(b.vel, np.float64)[liq]
+    fmass = np.asarray(b.mass, np.float64)[liq]
+    A = _rigid_arrays(sc)
+    fc = sc.cfg.fluid
+    o = NativeCoupledOracle(
+        h=fc.grid.smoothing_length, rest_density=fc.rest_density,
+        stiffness=fc.stiffness, viscosity=fc.viscosity,
+        num_sub_steps=fc.num_sub_steps, **_bound_kw(sc))
+    gpos = np.asarray(b.pos, np.float64)[gas]
+    gvel = np.asarray(b.vel, np.float64)[gas]
+    t0 = time.perf_counter()
+    o.run(fpos, fvel, fmass, A["pos"], A["vel"], A["ang"], A["om"],
+          A["mass"], A["inertia"], A["verts"], A["nv"], A["rad"],
+          A["circ"], A["isw"], gpos, gvel, oracle_ticks)
+    return oracle_ticks / (time.perf_counter() - t0)
+
+
+def bench_coupled(n_fluid, n_rigid, oracle_ticks, fallback):
+    from lpe_tpu.scenarios.bench_scenes import build_coupled_dam
+    sc = build_coupled_dam(n_fluid, n_rigid, seed=0)
+    dev_tps, _ = _time_device(sc, TICKS, BLOCK)
+    cpu_tps = _coupled_baseline(sc, oracle_ticks)
+    _emit(f"coupled_dam_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
+          cpu_tps, "native_cpp_coupled",
+          {"n_fluid": n_fluid, "n_rigid": n_rigid}, fallback)
+
+
+def bench_highlight(n_fluid, n_rigid, n_gas, oracle_ticks, fallback):
+    from lpe_tpu.scenarios.bench_scenes import build_highlight_reel
+    sc = build_highlight_reel(n_fluid, n_rigid, n_gas, seed=0)
+    dev_tps, _ = _time_device(sc, TICKS, BLOCK)
+    cpu_tps = _coupled_baseline(sc, oracle_ticks)
+    _emit(f"highlight_reel_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
+          cpu_tps, "native_cpp_coupled",
+          {"n_fluid": n_fluid, "n_rigid": n_rigid, "n_gas": n_gas},
+          fallback)
+
+
+def bench_dam(n_particles, oracle_ticks, fallback):
+    import numpy as np
+    from lpe_tpu.scenarios.bench_scenes import build_dam_break
+    scene = build_dam_break(n_particles, seed=0)
+    dev_tps, _ = _time_device(scene, TICKS, BLOCK)
     liq = scene.spec.liquid_slice
     pos = np.asarray(scene.state.bodies.pos)[liq].astype(np.float64)
     vel = np.asarray(scene.state.bodies.vel)[liq].astype(np.float64)
@@ -87,41 +212,69 @@ def main():
     fc = scene.cfg.fluid
     kw = dict(h=fc.grid.smoothing_length, rest_density=fc.rest_density,
               stiffness=fc.stiffness, viscosity=fc.viscosity,
-              universe=scene.cfg.shared.universe_size_m,
-              margin=scene.cfg.boundary.margin_pixels
-              * scene.cfg.shared.meters_per_pixel)
+              **_bound_kw(scene))
     try:
         from lpe_tpu.oracle.native import NativeSphOracle
         oracle = NativeSphOracle(**kw)
         baseline = "native_cpp"
         t0 = time.perf_counter()
-        oracle.run(pos, vel, mass, ORACLE_TICKS)
+        oracle.run(pos, vel, mass, oracle_ticks)
         cpu_s = time.perf_counter() - t0
     except Exception:
         from lpe_tpu.oracle.sph_numpy import SphOracle
         oracle = SphOracle(**kw)
         baseline = "numpy"
         t0 = time.perf_counter()
-        for _ in range(ORACLE_TICKS):
+        for _ in range(oracle_ticks):
             pos, vel, _, _ = oracle.tick(pos, vel, mass)
         cpu_s = time.perf_counter() - t0
-    cpu_tps = ORACLE_TICKS / cpu_s if ORACLE_TICKS else 0.0
+    cpu_tps = oracle_ticks / cpu_s if oracle_ticks else 0.0
+    _emit(f"sph_dam_break_{n_particles}_ticks_per_sec", dev_tps, cpu_tps,
+          baseline, {"n_particles": n_particles,
+                     "substeps_per_tick": fc.num_sub_steps,
+                     "ticks_per_dispatch": BLOCK}, fallback)
 
-    out = {
-        "metric": f"sph_dam_break_{N_PARTICLES}_ticks_per_sec",
-        "value": round(dev_tps, 3),
-        "unit": "ticks/s",
-        "vs_baseline": round(dev_tps / cpu_tps, 2) if cpu_tps else None,
-        "device": str(jax.devices()[0]),
-        "baseline": baseline,
-        "cpu_ticks_per_sec": round(cpu_tps, 3),
-        "n_particles": N_PARTICLES,
-        "substeps_per_tick": fc.num_sub_steps,
-        "ticks_per_dispatch": BLOCK,
+
+def main():
+    global N_PARTICLES, TICKS
+    fallback = None
+    sizes = dict(dam=N_PARTICLES, rigid=10000, galaxy=1000000,
+                 coupled_f=100000, coupled_r=300, hl_f=20000, hl_r=60,
+                 hl_g=200)
+    oticks = dict(dam=ORACLE_TICKS, rigid=max(2, ORACLE_TICKS),
+                  galaxy=1, coupled=1, highlight=2)
+    if not _accelerator_reachable():
+        # degraded mode: finish with a CPU measurement rather than hang
+        fallback = "accelerator unreachable; CPU backend, reduced workload"
+        sizes = dict(dam=5000, rigid=500, galaxy=5000, coupled_f=3000,
+                     coupled_r=20, hl_f=3000, hl_r=12, hl_g=50)
+        TICKS = min(TICKS, 10)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: F401  (device selection settled above)
+
+    runners = {
+        "rigid": lambda: bench_rigid(sizes["rigid"], oticks["rigid"],
+                                     fallback),
+        "galaxy": lambda: bench_galaxy(sizes["galaxy"], oticks["galaxy"],
+                                       fallback),
+        "coupled": lambda: bench_coupled(sizes["coupled_f"],
+                                         sizes["coupled_r"],
+                                         oticks["coupled"], fallback),
+        "highlight": lambda: bench_highlight(sizes["hl_f"], sizes["hl_r"],
+                                             sizes["hl_g"],
+                                             oticks["highlight"], fallback),
+        "dam": lambda: bench_dam(sizes["dam"], oticks["dam"], fallback),
     }
-    if fallback:
-        out["fallback"] = fallback
-    print(json.dumps(out))
+    # headline (dam) must be LAST: the driver records the tail line
+    order = [c for c in ("rigid", "galaxy", "coupled", "highlight")
+             if c in CONFIGS] + (["dam"] if "dam" in CONFIGS else [])
+    for c in order:
+        try:
+            runners[c]()
+        except Exception as e:  # one config must not sink the others
+            print(json.dumps({"metric": c, "error": repr(e)[:200]}),
+                  flush=True)
     return 0
 
 

@@ -74,7 +74,10 @@ def build_rigid_stacks(n_bodies: int = 1000, seed: int = 0,
     ec = RandomPolygonsConfig(particle_count=n_bodies, small_shape_min=0.05,
                               small_shape_max=0.12)
     cfg = make_config(ec).replace(rigid=RigidBodyConfig(
-        broadphase=BroadphaseConfig(max_pairs=max(1024, 4 * n_bodies)),
+        broadphase=BroadphaseConfig(max_pairs=max(1024, 4 * n_bodies),
+                                    # settling stacks rebuild rarely: skip
+                                    # the grid build on quiet ticks
+                                    persist_slack_m=0.04),
         # staged sweeps measurably tighten stacks (see ContactSolverConfig)
         solver=ContactSolverConfig(stages=4)))
     size = cfg.shared.universe_size_m
