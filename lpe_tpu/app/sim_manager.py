@@ -44,6 +44,7 @@ class SimManager:
         self.color_scheme = color_scheme
         self.debug = debug
         self._renderer = None
+        self._hud = None
         self.stats = LoopStats()
         self.select_scenario(scenario, seed=seed)
 
@@ -110,6 +111,36 @@ class SimManager:
                                            debug=self.debug)
         with PROFILER.scope("render"):
             return np.asarray(self._renderer(self.state))
+
+    def render_frame_with_ui(self, width: int = 600, height: int = 600,
+                             highlight: int = 0) -> np.ndarray:
+        """Sim frame + the reference's right-hand button panel, plus the
+        debug-mode FPS/TPS/achieved-timescale stats block — the full
+        window the reference presents every frame
+        (src/presentation_manager.cpp:96-137 presentFrame ->
+        renderUI/renderStatsInternal). [height, width + PANEL_W, 3]."""
+        from ..render.hud import make_hud, make_stats_overlay
+
+        if self._hud is None:
+            names = tuple(C.get_scenario_name(s)
+                          for s in C.get_all_scenarios())
+            self._hud = make_hud(names, height=height)
+            self._stats_overlay = make_stats_overlay()
+            self._scenario_list = list(C.get_all_scenarios())
+        frame = jnp.asarray(self.render_frame(width, height))
+        if self.debug:
+            frame = self._stats_overlay(
+                frame, jnp.float32(self.stats.frames_per_sec),
+                jnp.float32(self.stats.ticks_per_sec),
+                self.state.time_scale.astype(jnp.float32))
+        panel = self._hud(jnp.asarray(self.paused),
+                          self.state.time_scale.astype(jnp.float32),
+                          jnp.int32(self.color_scheme),
+                          jnp.asarray(self.debug),
+                          jnp.int32(self._scenario_list.index(
+                              self.scenario_type)),
+                          jnp.int32(highlight))
+        return np.asarray(jnp.concatenate([frame, panel], axis=1))
 
     def run(self, ticks: int = C.STEPS_PER_SECOND, *, realtime: bool = False,
             frame_sink=None, frame_every: int = 2, print_profile: bool = False):

@@ -52,15 +52,24 @@ def dispatch_key(mgr: SimManager, key: str) -> str:
 
 def view(scenario=C.SimulationType.KEPLERIAN_DISK, seed: int = 0,
          size: int = 600, ticks_per_frame: int = 2) -> int:
-    """Open an interactive window (requires a display)."""
+    """Open an interactive window (requires a display): the sim frame plus
+    the reference's button panel, with mouse hover/click dispatch
+    (reference: src/event_manager.cpp:26-106 processEvent ->
+    handleMouseButtonPressed/handleMouseMoved)."""
     import matplotlib
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation
 
+    from ..render.hud import dispatch_button, hit_test, layout_buttons
+
     mgr = SimManager(scenario, seed=seed)
-    fig, ax = plt.subplots(figsize=(7, 7))
+    names = tuple(C.get_scenario_name(s) for s in C.get_all_scenarios())
+    buttons = layout_buttons(names)
+    hover = [0]                                   # highlighted ButtonID
+
+    fig, ax = plt.subplots(figsize=(9, 7))
     ax.set_axis_off()
-    im = ax.imshow(mgr.render_frame(size, size))
+    im = ax.imshow(mgr.render_frame_with_ui(size, size))
     title = ax.set_title(C.get_scenario_name(mgr.scenario_type))
 
     def on_key(event):
@@ -69,15 +78,37 @@ def view(scenario=C.SimulationType.KEPLERIAN_DISK, seed: int = 0,
             title.set_text(
                 f"{C.get_scenario_name(mgr.scenario_type)} [{label}]")
 
+    def _panel_xy(event):
+        if event.xdata is None or event.ydata is None:
+            return None
+        return event.xdata - size, event.ydata   # panel-local coords
+
+    def on_move(event):
+        p = _panel_xy(event)
+        b = hit_test(buttons, *p) if p else None
+        hover[0] = b.id if b else 0
+
+    def on_click(event):
+        p = _panel_xy(event)
+        b = hit_test(buttons, *p) if p else None
+        if b:
+            label = dispatch_button(mgr, b)
+            if label:
+                title.set_text(
+                    f"{C.get_scenario_name(mgr.scenario_type)} [{label}]")
+
     def update(_):
         if not mgr.paused or mgr.step_frame:
             n = 1 if mgr.step_frame else ticks_per_frame
             mgr.step_frame = False
             mgr.tick(n)
-        im.set_data(mgr.render_frame(size, size))
+        im.set_data(mgr.render_frame_with_ui(size, size,
+                                             highlight=hover[0]))
         return [im]
 
     fig.canvas.mpl_connect("key_press_event", on_key)
+    fig.canvas.mpl_connect("motion_notify_event", on_move)
+    fig.canvas.mpl_connect("button_press_event", on_click)
     _anim = FuncAnimation(fig, update, interval=1000 // 60,
                           cache_frame_data=False)
     plt.show()

@@ -302,6 +302,62 @@ def _debug_overlays(state, spec, img, H, W, mpp):
     return jax.lax.fori_loop(0, spec.n_solid, one, img)
 
 
+def _scheme_colors(state, spec, H, W, mpp, scheme):
+    """Per-PIXEL property aggregation -> per-entity fill colors for the
+    solid slice (reference: renderer_types.hpp:34-73 PixelProperties,
+    solid_renderer.cpp:125-149 aggregateSolidParticlesByPixel, :34-59
+    fill-color lookup, presentation_manager.cpp:34-48 color mappers).
+
+    The reference buckets every solid entity by its CENTER pixel,
+    aggregates mass-weighted temperature / last-writer sleep state per
+    bucket, then colors each entity from the aggregate at its own center
+    pixel (White when the center is off-screen, i.e. no map entry). One
+    deviation, documented: the reference's running weighted mean is
+    iteration-order-dependent when temperature-carrying and
+    temperature-less entities share a pixel; here temperature is the
+    mass-weighted mean over the temperature-carrying entities only
+    (order-free, identical whenever sharers all carry temperature)."""
+    b = state.bodies
+    s0, ns = spec.solid_start, spec.n_solid
+    dt = b.pos.dtype
+    px = jnp.floor(b.pos[s0:s0 + ns, 0] / mpp).astype(jnp.int32)
+    py = jnp.floor(b.pos[s0:s0 + ns, 1] / mpp).astype(jnp.int32)
+    act = b.active[s0:s0 + ns]
+    inb = (px >= 0) & (px < W) & (py >= 0) & (py < H) & act
+    flat = jnp.where(inb, py * W + px, H * W)      # OOB -> dropped slot
+    white = jnp.full((ns, 3), 255, jnp.uint8)
+    if scheme == SCHEME_SLEEP:
+        # is_asleep = the LAST entity with a Sleep component to land on
+        # the pixel (registry iteration order = entity index order);
+        # pixels whose sharers have no Sleep read awake (green)
+        hs = b.has_sleep[s0:s0 + ns] & inb
+        rank = jnp.where(hs, jnp.arange(1, ns + 1, dtype=jnp.int32), 0)
+        winner = jnp.zeros((H * W + 1,), jnp.int32).at[flat].max(
+            rank, mode="drop")
+        wk = winner[flat]                           # per-entity pixel winner
+        asleep_pix = jnp.where(wk > 0,
+                               b.asleep[s0 + jnp.maximum(wk - 1, 0)], False)
+        col = jnp.where(asleep_pix[:, None],
+                        jnp.array([200, 50, 50], jnp.uint8),
+                        jnp.array([50, 200, 50], jnp.uint8))
+        return jnp.where(inb[:, None], col, white)
+    # TEMPERATURE: mass-weighted mean over has_temperature sharers;
+    # no temperature at the pixel -> gray 128 (temperatureColorMapper)
+    ht = b.has_temperature[s0:s0 + ns] & inb
+    m = jnp.where(ht, b.mass[s0:s0 + ns], 0.0).astype(dt)
+    mt = m * b.temperature[s0:s0 + ns].astype(dt)
+    zbuf = jnp.zeros((H * W + 1,), dt)
+    m_sum = zbuf.at[flat].add(m, mode="drop")[flat]
+    mt_sum = zbuf.at[flat].add(mt, mode="drop")[flat]
+    has_t = m_sum > 1e-9
+    t = jnp.clip(mt_sum / jnp.maximum(m_sum, 1e-9) / 100.0, 0.0, 1.0)
+    col = jnp.stack([255.0 * t, jnp.zeros_like(t), 255.0 * (1.0 - t)],
+                    axis=-1).astype(jnp.uint8)
+    gray = jnp.full((ns, 3), 128, jnp.uint8)
+    return jnp.where(inb[:, None], jnp.where(has_t[:, None], col, gray),
+                     white)
+
+
 def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
                   width: int = 600, height: int = 600,
                   color_scheme: int = SCHEME_DEFAULT, jit: bool = True,
@@ -319,24 +375,18 @@ def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
                 alpha = _fluid_layer(state, spec, H, W, mpp, splat)
             base = jnp.array(FLUID_BASE_COLOR, jnp.float32)
             img = img * (1 - alpha[:, :, None]) + base * alpha[:, :, None]
-        # color-scheme recolor (SLEEP paints asleep red / awake green,
-        # presentation_manager.cpp:37-40; TEMPERATURE maps 0..100 onto a
-        # blue->red ramp, gray when absent, presentation_manager.cpp:41-48)
-        # applied via state copy
+        # color-scheme recolor from per-PIXEL aggregates (SLEEP paints
+        # asleep red / awake green, TEMPERATURE maps the pixel's
+        # mass-weighted 0..100 mean onto a blue->red ramp, gray when no
+        # sharer carries temperature — presentation_manager.cpp:34-48,
+        # solid_renderer.cpp:34-59). Solids only: the gas pass always uses
+        # the entity's own color (gas_renderer.cpp:29-39).
         st = state
-        if color_scheme == SCHEME_SLEEP:
-            asleep = b.asleep[:, None]
-            col = jnp.where(asleep, jnp.array([200, 50, 50], jnp.uint8),
-                            jnp.array([50, 200, 50], jnp.uint8))
+        if color_scheme != SCHEME_DEFAULT and spec.n_solid > 0:
+            fill = _scheme_colors(state, spec, H, W, mpp, color_scheme)
+            s0 = spec.solid_start
             st = state.replace(bodies=b.replace(
-                color=jnp.where(b.has_sleep[:, None], col, b.color)))
-        elif color_scheme == SCHEME_TEMPERATURE:
-            t = jnp.clip(b.temperature / 100.0, 0.0, 1.0)
-            col = jnp.stack([255.0 * t, jnp.zeros_like(t),
-                             255.0 * (1.0 - t)], axis=-1).astype(jnp.uint8)
-            gray = jnp.full_like(b.color, 128)
-            st = state.replace(bodies=b.replace(
-                color=jnp.where(b.has_temperature[:, None], col, gray)))
+                color=b.color.at[s0:s0 + spec.n_solid].set(fill)))
         # solids
         with jax.named_scope("render_solids"):
             scol, salpha = _shape_masks(st, spec, spec.solid_start,

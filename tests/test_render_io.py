@@ -127,6 +127,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert (np.asarray(a.bodies.pos) == np.asarray(b.bodies.pos)).all()
 
 
+def test_checkpoint_loads_without_new_fields(tmp_path):
+    """Checkpoints written before new SimState fields existed (e.g. the
+    warm_pt/warm_n caches) must still load, with the missing fields falling
+    back to their make_state initializers (advisor finding: exact-name
+    loading raised KeyError on pre-cache checkpoints)."""
+    from lpe_tpu.io.checkpoint import load_state, save_state
+    sc = create_scenario(ST.RANDOM_POLYGONS, seed=0)
+    path = str(tmp_path / "old.npz")
+    save_state(path, sc.state)
+    z = dict(np.load(path))
+    for k in ("warm_pt", "warm_n"):
+        del z[k]
+    np.savez_compressed(path, **z)
+    s2 = load_state(path)
+    assert (np.asarray(s2.bodies.pos)
+            == np.asarray(sc.state.bodies.pos)).all()
+    # defaults: positions sentinel 1e30, normals zero, shapes match cache
+    assert np.asarray(s2.warm_pt).max() >= 1e29
+    assert (np.asarray(s2.warm_n) == 0).all()
+    assert s2.warm_pt.shape[:2] == s2.warm_normal.shape
+
+
 def test_cli_run_png_and_checkpoint(tmp_path):
     from lpe_tpu.app.cli import main
     png = str(tmp_path / "f.png")
