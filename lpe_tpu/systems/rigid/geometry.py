@@ -195,7 +195,8 @@ def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
     poly = jnp.zeros((cap, 2), dtype).at[:3].set(tri)
     st0 = dict(poly=poly, count=jnp.int32(3), done=degenerate,
                started=jnp.bool_(False),
-               normal=jnp.zeros(2, dtype), pen=jnp.zeros((), dtype))
+               normal=jnp.zeros(2, dtype).at[0].set(1.0),
+               pen=jnp.asarray(jnp.inf, dtype))
 
     idx = jnp.arange(cap)
     # Convergence threshold must respect the dtype's noise floor: for smooth
@@ -236,19 +237,26 @@ def epa(sa, sb, simplex, iters: int = EPA_ITERS_DEFAULT):
                                       jnp.roll(p, 1, axis=0)))
         cap_hit = count >= cap
 
+        # best-so-far estimate: every iteration's d = dot(support(en), en)
+        # upper-bounds the true penetration, but it is NOT monotone — on
+        # cap exhaustion the LAST d can badly overshoot (measured up to
+        # 1.2 on needle shapes, tests/test_geometry_adversarial.py). Keep
+        # the MINIMUM d and its normal: the tightest proven bound. The
+        # reference returns the converged d (epa.cpp:103-107), which
+        # equals the minimum when the loop converges.
+        better = active & (d < st["pen"])
         return dict(
             poly=jnp.where(active & ~converged & ~cap_hit, shifted, p),
             count=jnp.where(active & ~converged & ~cap_hit, count + 1, count),
             done=st["done"] | (active & (converged | cap_hit)),
             started=st["started"] | active,
-            # best-so-far estimate: d upper-bounds the true penetration and
-            # tightens every iteration (reference returns d, epa.cpp:103-107)
-            normal=jnp.where(active, en, st["normal"]),
-            pen=jnp.where(active, d, st["pen"]),
+            normal=jnp.where(better, en, st["normal"]),
+            pen=jnp.where(better, d, st["pen"]),
         )
 
     st = jax.lax.fori_loop(0, iters, body, st0)
-    return st["started"] & ~degenerate, st["normal"], st["pen"]
+    pen = jnp.where(jnp.isfinite(st["pen"]), st["pen"], 0.0)
+    return st["started"] & ~degenerate, st["normal"], pen
 
 
 # ---------------------------------------------------------------------------
