@@ -126,6 +126,16 @@ class BroadphaseConfig:
     # dense side-channel for oversized solids (walls).
     dense_max_solids: int = 1024
     grid_max_per_cell: int = 32
+    # Cross-tick candidate persistence (>0 enables): candidate pairs are
+    # built from AABBs expanded by slack/2 and REUSED until any solid has
+    # moved more than slack/2 (translation + rotation*bounding-radius)
+    # since the build — the candidate set stays a superset of the exact
+    # overlap set, so contacts are identical; only the (expensive) grid
+    # build + pair compaction is skipped on quiet ticks. The reference
+    # rebuilds its quadtree every tick (broadphase.cpp:205-288); settled
+    # stacks rebuild here ~never. Off by default: scenes with mostly
+    # moving bodies pay the (cheap) displacement check for nothing.
+    persist_slack_m: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -153,6 +163,13 @@ class ContactSolverConfig:
     # behavior flows through — scenes that want stacking accuracy opt in
     # (e.g. the rigid-stacks bench scene).
     stages: int = 1
+    # Segment count for the FRICTION rows specifically. 0 = follow
+    # ``stages``. 1 under stages>1 runs the normal rows staged (fast stack
+    # convergence) while friction stays a single synchronous Jacobi update
+    # per iteration — the validated stages=1 friction behavior — so staged
+    # scenes keep sliding contacts (funnels) flowing. See
+    # solver.solve_velocity.
+    friction_stages: int = 0
 
 
 @dataclass(frozen=True)
@@ -167,7 +184,8 @@ class PositionSolverConfig:
     # (pure Jacobi) by default: staging the normal-only position push-out
     # measured 4x better floor-sink yet ~10x worse lateral creep on tall
     # stacks (it has no friction rows to oppose the asymmetric push), so
-    # symmetry wins here while the velocity solver keeps stages=4.
+    # symmetry wins here, while stacking scenes opt the velocity solver
+    # into stages=4 (ContactSolverConfig.stages defaults to 1 too).
     stages: int = 1
 
 
@@ -206,6 +224,11 @@ class RigidBodyConfig:
     # matches dist^2 < 1e-6, contact_manager.cpp:222-234), and the pair's
     # manifold resets when its normal rotates past cos 0.95 (:202-209).
     warm_position_tolerance: float = 1e-3
+    # True: a point with no positional match inherits its slot's cached
+    # impulse (helps the plain-Jacobi stages=1 solver through settling).
+    # False: strict reference semantics — no match, cold start
+    # (contact_manager.cpp:236-245). See solver.match_warm_impulses.
+    warm_slot_fallback: bool = True
 
 
 @dataclass(frozen=True)

@@ -104,6 +104,14 @@ class SimState:
     # 222-234) and normal-rotation manifold reset (cos < 0.95, :202-209).
     warm_pt: jax.Array             # [max_pairs, max_contacts, 2] float
     warm_n: jax.Array              # [max_pairs, 2] float
+    # Cross-tick broadphase candidate cache (BroadphaseConfig.
+    # persist_slack_m > 0): pair ids built from slack-expanded AABBs plus
+    # the per-body pose anchors the displacement guard measures against.
+    # -1 ids = invalid slot; +inf anchors force a rebuild on first tick.
+    bp_ia: jax.Array               # [max_pairs] int32
+    bp_ib: jax.Array               # [max_pairs] int32
+    bp_anchor_pos: jax.Array       # [n, 2] float
+    bp_anchor_ang: jax.Array       # [n] float
 
 
 def zero_bodies(n: int, dtype=jnp.float32) -> Bodies:
@@ -140,6 +148,10 @@ def make_state(bodies: Bodies, max_pairs: int = 1, max_contacts: int = 8,
         warm_ib=jnp.full((max_pairs,), -1, jnp.int32),
         warm_pt=jnp.full((max_pairs, max_contacts, 2), 1e30, dtype),
         warm_n=jnp.zeros((max_pairs, 2), dtype),
+        bp_ia=jnp.full((max_pairs,), -1, jnp.int32),
+        bp_ib=jnp.full((max_pairs,), -1, jnp.int32),
+        bp_anchor_pos=jnp.full_like(bodies.pos, jnp.inf),
+        bp_anchor_ang=jnp.full_like(bodies.angle, jnp.inf),
     )
 
 

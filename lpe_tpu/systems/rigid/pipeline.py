@@ -102,6 +102,7 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     size = cfg.shared.universe_size_m
     buf = bp.boundary_buffer
     use_grid_bp = S > bp.dense_max_solids
+    slack = float(bp.persist_slack_m)
 
     if use_grid_bp:
         # static grid geometry: cells sized so every non-"big" AABB fits in
@@ -109,7 +110,9 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         # build; overlapping small-small pairs are then always within the
         # 3x3 neighborhood — exact, like the dense matrix)
         Kb = bp.grid_max_per_cell
-        cellb = spec.solid_cell_size
+        # +slack: expanded AABBs (persist_slack_m) must still fit one cell
+        # for the 3x3-neighborhood exactness argument below
+        cellb = spec.solid_cell_size + slack
         # the grid spans the universe plus one apron cell per side;
         # out-of-universe bodies clamp into the apron cells (conservative —
         # they still pair with each other and with edge cells). The
@@ -207,16 +210,21 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         ib = jnp.where(pvalid, ib, 0)
         return ia, ib, pvalid
 
-    def step(state: SimState) -> SimState:
-        b = state.bodies
-        sh = _solid_shapes(b, S, spec.max_solid_verts)
+    def _broadphase(b, sh):
+        """One candidate-pair build: AABBs (expanded by slack/2 under
+        persistence, so the pair set stays valid while bodies move less
+        than slack/2) -> filters -> grid or dense compaction."""
         minx, miny, maxx, maxy = _aabbs(sh)
-        # --- broadphase -------------------------------------------------
         bnd = b.boundary[:S]
+        # filters from the UNexpanded boxes (small/in_root classification
+        # must not depend on the persistence slack)
         ext = jnp.maximum(maxx - minx, maxy - miny)
         small = ext < bp.small_particle_threshold
         in_root = (maxx >= -buf) & (minx <= size + buf) & \
                   (maxy >= -buf) & (miny <= size + buf)
+        if slack > 0:
+            e = slack * 0.5
+            minx, miny, maxx, maxy = minx - e, miny - e, maxx + e, maxy + e
         if use_grid_bp:
             filt = (bnd.astype(jnp.int32)
                     | (small.astype(jnp.int32) << 1)
@@ -239,6 +247,42 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             flat = jnp.where(pvalid, flat, 0)
             ia = flat // S
             ib = flat % S
+        return ia, ib, pvalid
+
+    def step(state: SimState) -> SimState:
+        b = state.bodies
+        sh = _solid_shapes(b, S, spec.max_solid_verts)
+        # --- broadphase -------------------------------------------------
+        if slack > 0:
+            # displacement guard: rebuild when any solid's worst-case
+            # surface motion (translation + rotation * bounding radius)
+            # since the anchor pose exceeds the slack half-width. +inf
+            # anchors (fresh state) always rebuild.
+            br = jnp.where(sh["is_circle"], sh["radius"],
+                           jnp.sqrt((sh["verts"] ** 2).sum(-1))
+                           .max(-1, initial=0.0, where=sh["vmask"]))
+            dp = jnp.abs(b.pos[:S] - state.bp_anchor_pos[:S]).max(-1)
+            da = jnp.abs(b.angle[:S] - state.bp_anchor_ang[:S])
+            disp = (dp + da * br).max()
+            need = ~(disp <= slack * 0.5)
+
+            def build(_):
+                ia, ib, pv = _broadphase(b, sh)
+                return (jnp.where(pv, ia, -1).astype(jnp.int32),
+                        jnp.where(pv, ib, -1).astype(jnp.int32),
+                        b.pos[:S], b.angle[:S])
+
+            def reuse(_):
+                return (state.bp_ia[:MAX_PAIRS], state.bp_ib[:MAX_PAIRS],
+                        state.bp_anchor_pos[:S], state.bp_anchor_ang[:S])
+
+            ia_c8, ib_c8, anc_p, anc_a = jax.lax.cond(need, build, reuse,
+                                                      None)
+            pvalid = ia_c8 >= 0
+            ia = jnp.maximum(ia_c8, 0)
+            ib = jnp.maximum(ib_c8, 0)
+        else:
+            ia, ib, pvalid = _broadphase(b, sh)
 
         # --- narrowphase --------------------------------------------------
         sa = _gather_shape(sh, ia)
@@ -350,7 +394,8 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                 state.warm_n[:MAX_PAIRS][sc_],
                 state.warm_normal[:MAX_PAIRS][sc_],
                 state.warm_tangent[:MAX_PAIRS][sc_],
-                same, tol=rc.warm_position_tolerance)
+                same, tol=rc.warm_position_tolerance,
+                slot_fallback=rc.warm_slot_fallback)
             ln0 = jnp.where(avalid, ln0_m.reshape(-1)[rid_s], 0.0)
             lt0 = jnp.where(avalid, lt0_m.reshape(-1)[rid_s], 0.0)
         else:
@@ -377,6 +422,15 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             omega=b.omega.at[:S].set(omega),
         )
         st = state.replace(bodies=nb)
+        if slack > 0:
+            # NOTE: anchors reference PRE-solve poses; the solve's own
+            # push-out this tick is covered because next tick's guard
+            # measures the post-solve positions against these anchors.
+            st = st.replace(
+                bp_ia=state.bp_ia.at[:MAX_PAIRS].set(ia_c8),
+                bp_ib=state.bp_ib.at[:MAX_PAIRS].set(ib_c8),
+                bp_anchor_pos=state.bp_anchor_pos.at[:S].set(anc_p),
+                bp_anchor_ang=state.bp_anchor_ang.at[:S].set(anc_a))
         if rc.warm_start:
             st = st.replace(
                 warm_normal=state.warm_normal.at[:MAX_PAIRS].set(

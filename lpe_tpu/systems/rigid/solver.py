@@ -49,7 +49,8 @@ def _eff_mass(dirv, ra, rb, im_a, im_b, ii_a, ii_b):
 
 
 def match_warm_impulses(pts, nrm, cpt, cn, cln, clt, pair_ok,
-                        tol: float = 1e-3, normal_cos: float = 0.95):
+                        tol: float = 1e-3, normal_cos: float = 0.95,
+                        slot_fallback: bool = True):
     """Position-matched warm-start lookup (the reference ContactManager's
     semantics, contact_manager.cpp:164-248, un-neutered):
 
@@ -60,16 +61,18 @@ def match_warm_impulses(pts, nrm, cpt, cn, cln, clt, pair_ok,
       impulses follow *points*, so a slot-order flip between ticks (e.g.
       two clipped contacts whose penetration order swapped) keeps its
       accumulated impulses;
-    - a point with NO positional match falls back to its *slot's* cached
-      impulse instead of the reference's cold start. Divergence, on
-      purpose: the reference's sequential PGS converges fine from zero,
-      while this solver's parallel mass-splitting Jacobi leans on warm
-      starts for stack convergence — during settling, contact points move
-      more than 1e-3/tick (Baumgarte corrections alone exceed it) and
-      strict matching would cold-start exactly when stacks need the cache
-      most (measured: the 5-box stack never calms). The fallback is the
-      pre-existing slot-aligned behavior; position matching refines it
-      when points are trackable.
+    - with ``slot_fallback`` (default), a point with NO positional match
+      falls back to its *slot's* cached impulse instead of the
+      reference's cold start. Divergence, on purpose: the reference's
+      sequential PGS converges fine from zero, while the plain-Jacobi
+      (stages=1) solver leans on warm starts for stack convergence —
+      during settling, contact points move more than 1e-3/tick (Baumgarte
+      corrections alone exceed it) and strict matching would cold-start
+      exactly when stacks need the cache most (measured: the 5-box stack
+      never calms under stages=1). ``slot_fallback=False`` is the strict
+      reference semantics (cold start on no match), viable once the
+      staged solver converges fast enough on its own
+      (RigidBodyConfig.warm_slot_fallback).
 
     pts [P, C, 2] new points; nrm [P, 2] new normals (unit);
     cpt [P, C, 2] cached points; cn [P, 2] cached normals;
@@ -84,8 +87,9 @@ def match_warm_impulses(pts, nrm, cpt, cn, cln, clt, pair_ok,
     matched = m.any(2)
     ln0 = jnp.where(first, cln[:, None, :], 0.0).sum(2)
     lt0 = jnp.where(first, clt[:, None, :], 0.0).sum(2)
-    ln0 = jnp.where(matched, ln0, cln)
-    lt0 = jnp.where(matched, lt0, clt)
+    if slot_fallback:
+        ln0 = jnp.where(matched, ln0, cln)
+        lt0 = jnp.where(matched, lt0, clt)
     keep = ok[:, None]
     return jnp.where(keep, ln0, 0.0), jnp.where(keep, lt0, 0.0)
 
@@ -135,6 +139,12 @@ def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
 
     relax = cfg.relaxation
     mu = cfg.friction_coeff
+    # friction_stages == 1 under staging: friction rows stay one
+    # synchronous Jacobi update per iteration (the validated stages=1
+    # behavior for sliding contacts) while normal rows run staged.
+    fr_jacobi = NB > 1 and int(getattr(cfg, "friction_stages", 0)) == 1
+    if fr_jacobi:
+        deg_g = _contact_degree(ia, ib, valid, S)
 
     def seg(v, s):
         return v[s::NB]
@@ -167,6 +177,14 @@ def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
                     * g["ii_a"]
                     + _cross2(g["rb"], g["nrm"]) * _cross2(g["rb"], g["tan"])
                     * g["ii_b"])
+        if fr_jacobi:
+            # synchronous-friction effective mass needs the GLOBAL body
+            # degree (all of a body's contacts update friction at once)
+            dg_ga, dg_gb = deg_g[g["ia"]], deg_g[g["ib"]]
+            g["eff_t_g"] = _eff_mass(g["tan"], g["ra"], g["rb"],
+                                     g["im_a"] * dg_ga, g["im_b"] * dg_gb,
+                                     g["ii_a"] * dg_ga,
+                                     g["ii_b"] * dg_gb) * v_s
         segs.append(g)
 
     def rel_vel2(u, g):
@@ -220,6 +238,34 @@ def solve_velocity(pos, vel, omega, inv_m, inv_i, ia, ib, n, pt, valid,
         lt_segs.append(lt_s)
 
     def sweep(u, lns, lts, order):
+        if fr_jacobi:
+            # staged NORMAL sweeps (stack convergence), then one
+            # synchronous Jacobi FRICTION update over all rows computed
+            # from the same post-normal velocities — the same indexed-op
+            # volume, merely regrouped.
+            for s in order:
+                g = segs[s]
+                ln = lns[s]
+                vn, _ = rel_vel2(u, g)
+                dl = -g["eff_n"] * vn * relax
+                new_ln = jnp.maximum(ln + dl, 0.0)
+                dln = jnp.where(g["valid"], new_ln - ln, 0.0)
+                u = apply2(u, g, dln, jnp.zeros_like(dln))
+                lns[s] = jnp.where(g["valid"], new_ln, ln)
+            upd = []
+            for s in order:
+                g = segs[s]
+                _, vt = rel_vel2(u, g)
+                lim = mu * lns[s]
+                dlt_raw = -g["eff_t_g"] * vt * relax
+                new_lt = jnp.clip(lts[s] + dlt_raw, -lim, lim)
+                upd.append(jnp.where(g["valid"], new_lt, lts[s]))
+            for s, new_lt in zip(order, upd):
+                g = segs[s]
+                dlt = jnp.where(g["valid"], new_lt - lts[s], 0.0)
+                u = apply2(u, g, jnp.zeros_like(dlt), dlt)
+                lts[s] = new_lt
+            return u, lns, lts
         for s in order:
             g = segs[s]
             ln, lt = lns[s], lts[s]

@@ -231,3 +231,65 @@ def test_warm_cache_points_persist_across_ticks():
     touching = pts[..., 0] < 1e29
     assert touching.any(), "resting pair should cache contact points"
     assert np.abs(ln).max() > 0.0, "resting pair should cache impulses"
+
+
+def test_broadphase_persistence_matches_rebuild():
+    """Cross-tick candidate persistence (BroadphaseConfig.persist_slack_m):
+    slack-expanded AABBs + displacement-guarded reuse must yield the same
+    trajectory as a per-tick rebuild — the candidate set stays a superset
+    of the exact overlap set, so the contact set is identical (only the
+    compacted row ORDER can differ, and the Jacobi solver is
+    order-independent up to reassociation)."""
+    import jax
+
+    def build(slack, stack_x=3.0):
+        ents = [dict(pos=(stack_x, 5.0), mass=1e30, boundary=True,
+                     shape_kind=int(ShapeKind.POLYGON), radius=0.05,
+                     verts=np.array([[-3, -0.05], [-3, 0.05], [3, 0.05],
+                                     [3, -0.05]]),
+                     has_sleep=True, asleep=True)]
+        hw = 0.1
+        box = np.array([[-hw, -hw], [-hw, hw], [hw, hw], [hw, -hw]])
+        for i in range(4):
+            ents.append(dict(pos=(stack_x + 0.01 * i,
+                                  4.95 - hw - 2 * hw * i),
+                             vel=(0.05, 0.0), mass=1.0,
+                             shape_kind=int(ShapeKind.POLYGON), radius=hw,
+                             verts=box, inertia=(2.0 / 3.0) * hw * hw))
+        sc = scene(ents)
+        bpc = dataclasses.replace(sc.cfg.rigid.broadphase,
+                                  persist_slack_m=slack)
+        sc.cfg = sc.cfg.replace(
+            rigid=dataclasses.replace(sc.cfg.rigid, broadphase=bpc))
+        return sc
+
+    def run(slack, ticks=120):
+        sc = build(slack)
+        step = rigid_step(sc)
+        dt = sc.cfg.shared.seconds_per_tick
+        g_dt = 9.8 * dt
+        import jax.numpy as jnp
+
+        @jax.jit
+        def gm(s):
+            b = s.bodies
+            free = ~b.boundary
+            vy = b.vel[:, 1] + jnp.where(free, g_dt, 0.0)
+            vel = b.vel.at[:, 1].set(vy)
+            pos = b.pos + jnp.where(free[:, None], vel * dt, 0.0)
+            return s.replace(bodies=b.replace(vel=vel, pos=pos))
+
+        s = sc.state
+        for _ in range(ticks):
+            s = step(gm(s))
+        return np.asarray(s.bodies.pos), np.asarray(s.bodies.vel), s
+
+    p0, v0, _ = run(0.0)
+    p1, v1, s1 = run(0.04)
+    assert np.isfinite(p1).all()
+    # identical contact set; only float reassociation differs
+    assert np.abs(p1 - p0).max() < 5e-4, np.abs(p1 - p0).max()
+    assert np.abs(v1 - v0).max() < 5e-3
+    # the cache was actually used: anchors were written
+    assert np.isfinite(np.asarray(s1.bp_anchor_pos)[:5]).all()
+    assert (np.asarray(s1.bp_ia) >= 0).any()
