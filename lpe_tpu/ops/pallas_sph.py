@@ -344,9 +344,14 @@ def _coupling_kernel(RC, V, W, cn, K, TX, cpl_ref, cand_ref, rig_ref, d_ref,
                 dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
                 if cn["any_circle"] and cn["any_poly"]:
                     is_c = ric > 0
+                    # boolean algebra, not jnp.where: Mosaic cannot legalize
+                    # arith.select on vector<i1> operands (bool-valued
+                    # selects), which this would lower to
+                    inside_s = (is_c & inside_c) | (~is_c & inside_p)
                 else:                      # uniform scenes: constant predicate,
                     is_c = bool(cn["any_circle"])   # dead branch folds away
-                inside = in_aabb & jnp.where(is_c, inside_c, inside_p)
+                    inside_s = inside_c if is_c else inside_p
+                inside = in_aabb & inside_s
 
                 # ---- position correction (metal:533-668) ----
                 msd = cn["min_safe_distance"]
