@@ -253,7 +253,24 @@ def _coupling_kernel(RC, V, W, cn, K, TX, cpl_ref, cand_ref, rig_ref, d_ref,
         occ = d[FO]
         ax, ay = d[FAX], d[FAY]
         crow = cand_ref[pl.ds(j + 1, 1), :]                 # [1, RC] ids
+        nx_, ny_, vxo, vyo, axo, ayo = _couple_core(
+            RC, V, cn, K, TX, t, crow, rig_ref, orf, cacc,
+            px, py, vx1, vy1, rho, p, m, occ, ax, ay)
+        ox[0] = nx_
+        oy[0] = ny_
+        ovx[0] = vxo
+        ovy[0] = vyo
+        oax[0] = axo
+        oay[0] = ayo
 
+
+def _couple_core(RC, V, cn, K, TX, t, crow, rig_ref, orf, cacc,
+                 px, py, vx1, vy1, rho, p, m, occ, ax, ay):
+    """Shared candidate-loop + finalization of the fused coupling solve
+    (see _coupling_kernel). Writes the per-candidate (fx, fy, tq, id)
+    partials into ``orf[0, t]`` and returns the updated particle planes
+    (x, y, vx, vy, ax, ay), each [K, TX]."""
+    if True:
         z = jnp.zeros((K, TX), px.dtype)
         fz = jnp.zeros((K, TX), jnp.bool_)
         # cross-candidate accumulators live in scratch so each candidate's
@@ -452,8 +469,8 @@ def _coupling_kernel(RC, V, W, cn, K, TX, cpl_ref, cand_ref, rig_ref, d_ref,
         fsc = jnp.where(fm > cn["fluid_force_max"],
                         cn["fluid_force_max"] / jnp.maximum(fm, 1e-30), 1.0)
         inv_m = jnp.where(m > 1e-4, 1.0 / m, 1.0)
-        oax[0] = jnp.where(had_imp, ax + ffx * fsc * inv_m, ax)
-        oay[0] = jnp.where(had_imp, ay + ffy * fsc * inv_m, ay)
+        axo = jnp.where(had_imp, ax + ffx * fsc * inv_m, ax)
+        ayo = jnp.where(had_imp, ay + ffy * fsc * inv_m, ay)
         # position push-out + velocity fix-up
         mag = jnp.sqrt(acx * acx + acy * acy)
         scale = jnp.where(mag > cn["max_correction"],
@@ -472,10 +489,10 @@ def _coupling_kernel(RC, V, W, cn, K, TX, cpl_ref, cand_ref, rig_ref, d_ref,
         cdy = ddy / jnp.maximum(dmag, 1e-30)
         valong = vx1 * cdx + vy1 * cdy
         fix = moved & (valong < 0.0)
-        ox[0] = nx_
-        oy[0] = ny_
-        ovx[0] = jnp.where(fix, vx1 - valong * cdx, vx1)
-        ovy[0] = jnp.where(fix, vy1 - valong * cdy, vy1)
+        return (nx_, ny_,
+                jnp.where(fix, vx1 - valong * cdx, vx1),
+                jnp.where(fix, vy1 - valong * cdy, vy1),
+                axo, ayo)
 
 
 def make_coupling(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
@@ -533,6 +550,128 @@ def make_coupling(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
         return call(cpl2, cand, rig, D10)
 
     return couple
+
+
+def _coupling9_kernel(RC, V, W, cn, K, TX, half_dt, stiffness, ny,
+                      cpl_ref, cand_ref, rig_ref, m9_ref, rho_ref, fx_ref,
+                      fy_ref, ost, orf, cacc):
+    """Stacked-state coupling: consumes the migrated stack M9 plus the pair
+    sweep's (rho, fx, fy) rows directly, computes the second velocity kick
+    and EOS pressure inline, and emits the NEXT sub-step's input stack ST
+    [9(x,y,vx,vy,ax,ay,m,id,occ), K, TX] — no XLA restack between kernels.
+    Physics is _coupling_kernel's via the shared _couple_core."""
+    p = pl.program_id(0)            # padded row, 0..ny+1
+    t = pl.program_id(1)
+    apron = (p == 0) | (p == ny + 1)
+
+    @pl.when(apron)
+    def _():
+        ost[0] = jnp.zeros((9, K, TX), ost.dtype)
+        for i in range(4 * RC):
+            orf[0, t, i] = jnp.float32(0.0)
+
+    @pl.when(~apron)
+    def _():
+        x1 = m9_ref[0, _M9_X]
+        y1 = m9_ref[0, _M9_Y]
+        m = m9_ref[0, _M9_M]
+        occ = m9_ref[0, _M9_OCC]
+        idp = m9_ref[0, _M9_ID]
+        fxi = fx_ref[0]
+        fyi = fy_ref[0]
+        rhoi = rho_ref[0]
+        # second kick (metal:428-441) + EOS, inline
+        vx1 = m9_ref[0, _M9_HX] + half_dt * fxi
+        vy1 = m9_ref[0, _M9_HY] + half_dt * fyi
+        pe = jnp.maximum(stiffness * (rhoi - cn["rest_density"]), 0.0)
+        off = cn["boundary_offset"]
+
+        @pl.when(cpl_ref[p, t] == 0)
+        def _():
+            # copy-through, with the same out-of-tank floor clamp the XLA
+            # path applies globally every sub-step
+            ost[0, _ST_X] = jnp.where(x1 < 0.0, off, x1)
+            ost[0, _ST_Y] = jnp.where(y1 < 0.0, off, y1)
+            ost[0, _ST_VX] = vx1
+            ost[0, _ST_VY] = vy1
+            ost[0, _ST_AX] = fxi
+            ost[0, _ST_AY] = fyi
+            ost[0, _ST_M] = m
+            ost[0, _ST_ID] = idp
+            ost[0, _ST_OCC] = occ
+            for i in range(4 * RC):
+                orf[0, t, i] = jnp.float32(0.0)
+
+        @pl.when(cpl_ref[p, t] > 0)
+        def _():
+            crow = cand_ref[pl.ds(p, 1), :]                 # [1, RC] ids
+            nx_, ny_, vxo, vyo, axo, ayo = _couple_core(
+                RC, V, cn, K, TX, t, crow, rig_ref, orf, cacc,
+                x1, y1, vx1, vy1, rhoi, pe, m, occ, fxi, fyi)
+            ost[0, _ST_X] = nx_
+            ost[0, _ST_Y] = ny_
+            ost[0, _ST_VX] = vxo
+            ost[0, _ST_VY] = vyo
+            ost[0, _ST_AX] = axo
+            ost[0, _ST_AY] = ayo
+            ost[0, _ST_M] = m
+            ost[0, _ST_ID] = idp
+            ost[0, _ST_OCC] = occ
+
+
+def make_coupling9(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
+                   half_dt: float, stiffness: float, RC: int = 16,
+                   TX: int = TILE_X, dtype=jnp.float32,
+                   interpret: bool = False):
+    """Returns ``couple9(cpl2, cand, rig, M9, rho, fx, fy) -> (ST, partials)``.
+
+    M9 is make_migrate's output stack [ny+2, 9, K, NT*TX]; rho/fx/fy are
+    the pair sweep's interior rows [ny, K, NT*TX]. ST is the next
+    sub-step's input stack [ny+2, 9(x,y,vx,vy,ax,ay,m,id,occ), K, NT*TX]
+    (apron rows zero); partials are per-(padded row, tile) (fx, fy, tq, id)
+    candidate sums [ny+2, NT, 4*RC] to scatter-add by id."""
+    W = 15 + 2 * V
+    RC = min(RC, max(NR, 1))
+    kern = functools.partial(_coupling9_kernel, RC, V, W, consts, K, TX,
+                             half_dt, stiffness, ny)
+    row_spec = pl.BlockSpec((1, K, TX),
+                            lambda p, t, cpl: (jnp.clip(p - 1, 0, ny - 1),
+                                               0, t),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ny + 2, NT),
+        in_specs=[
+            pl.BlockSpec((ny + 2, RC), lambda p, t, cpl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NR + 1, W), lambda p, t, cpl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 9, K, TX), lambda p, t, cpl: (p, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 9, K, TX), lambda p, t, cpl: (p, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NT, 4 * RC), lambda p, t, cpl: (p, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((6, K, TX), dtype)],
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ny + 2, 9, K, NT * TX), dtype),
+            jax.ShapeDtypeStruct((ny + 2, NT, 4 * RC), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    def couple9(cpl2, cand, rig, M9, rho, fx, fy):
+        return call(cpl2, cand, rig, M9, rho, fx, fy)
+
+    return couple9
 
 
 def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
@@ -632,21 +771,20 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
         the cheap per-pair math (measured), but a STATIC half-K branch
         (both center and neighbor slot axes sliced to K/2 when the 3x3
         window's max occupancy allows, the common case) quarters the pair
-        slots with no loop overhead."""
-        sq = slabs[q % 5]
+        slots with no loop overhead. Loads are per-plane so slabs with
+        extra trailing planes (the 9-plane migrated stack) cost nothing."""
 
         def rho_tile(t, KC, KN):
             ts = slice(t * TX, (t + 1) * TX)
-            cx = sq[FX, :KC, ts][:, None, :]
-            cy = sq[FY, :KC, ts][:, None, :]
+            cx = slabs[q % 5, FX, :KC, ts][:, None, :]
+            cy = slabs[q % 5, FY, :KC, ts][:, None, :]
             kk = jax.lax.broadcasted_iota(jnp.int32, (1, KN, 1), 1)
             acc = jnp.zeros((KC, TX), orho.dtype)
             for dr in (-1, 0, 1):
-                src = slabs[(q + dr) % 5]
-                exx = ext_win(src[FX, :KN], t)
-                exy = ext_win(src[FY, :KN], t)
-                exm = ext_win(src[FM, :KN], t)
-                exo = ext_win(src[FO, :KN], t)
+                exx = ext_win(slabs[(q + dr) % 5, FX, :KN], t)
+                exy = ext_win(slabs[(q + dr) % 5, FY, :KN], t)
+                exm = ext_win(slabs[(q + dr) % 5, FM, :KN], t)
+                exo = ext_win(slabs[(q + dr) % 5, FO, :KN], t)
                 live = kk < _src_bound(rm_ref, q + dr, t, NT)
                 for dx in range(3):
                     nbx = exx[:, dx:dx + TX][None]
@@ -702,7 +840,6 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
     # ---- force for padded row p (+ rho write-out) ----
     orho[0] = rho_ring[p % 3]
     CH = 8 if K % 8 == 0 else 1
-    ctr = slabs[p % 5]
 
     def eos(rho):
         return jnp.maximum(stiffness * (rho - rest_density), 0.0)
@@ -714,11 +851,11 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
         ts = slice(t * TX, (t + 1) * TX)
         k1 = jax.lax.broadcasted_iota(jnp.int32, (KC, CH, 1), 0)
         kc = jax.lax.broadcasted_iota(jnp.int32, (KC, CH, 1), 1)
-        cx = ctr[FX, :KC, ts][:, None, :]
-        cy = ctr[FY, :KC, ts][:, None, :]
-        cvx = ctr[FVX, :KC, ts][:, None, :]
-        cvy = ctr[FVY, :KC, ts][:, None, :]
-        cocc = ctr[FO, :KC, ts][:, None, :]
+        cx = slabs[p % 5, FX, :KC, ts][:, None, :]
+        cy = slabs[p % 5, FY, :KC, ts][:, None, :]
+        cvx = slabs[p % 5, FVX, :KC, ts][:, None, :]
+        cvy = slabs[p % 5, FVY, :KC, ts][:, None, :]
+        cocc = slabs[p % 5, FO, :KC, ts][:, None, :]
         crho = rho_ring[p % 3, :KC, ts][:, None, :]
         cp_ = eos(crho)
         cterm = cp_ / jnp.maximum(crho * crho, 1e-30)
@@ -729,7 +866,7 @@ def _sweep_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
 
             def body(i, acc, dr=dr, t=t):
                 fxa, fya = acc
-                ch = slabs[(p + dr) % 5, :,
+                ch = slabs[(p + dr) % 5, :6,
                            pl.ds(i * CH, CH), :]        # [6, CH, NTX]
                 rch = rho_ring[(p + dr) % 3, pl.ds(i * CH, CH), :]
                 for dx in range(3):
@@ -795,14 +932,17 @@ def make_pair_sweep(ny: int, NT: int, K: int, h: float, poly6: float,
                     spiky: float, visc_lap: float, viscosity: float,
                     min_d2: float, min_rho: float, stiffness: float,
                     rest_density: float, TX: int = TILE_X,
-                    dtype=jnp.float32, interpret: bool = False):
+                    dtype=jnp.float32, interpret: bool = False,
+                    F: int = 6):
     """Returns sweep(rm2, D6) -> (rho, fx, fy) rows, each [ny, K, NT*TX].
 
-    D6 is the ROW-MAJOR field stack [ny+2, 6(x,y,vx,vy,m,occ), K, NT*TX]
-    (one contiguous slab per row — a single DMA descriptor); rm2 is the
-    per-(padded-row, tile) max cell occupancy [ny+2, NT] int32. Replaces the
-    make_density + make_force pair with one pass that fetches each row once
-    and keeps rho on-chip; pressure is EOS(rho) inline."""
+    D6 is the ROW-MAJOR field stack [ny+2, F, K, NT*TX] whose FIRST SIX
+    planes are (x, y, vx, vy, m, occ) — F > 6 (e.g. the 9-plane migrated
+    stack from make_migrate) just rides along in the slab DMA (one
+    contiguous descriptor per row); rm2 is the per-(padded-row, tile) max
+    cell occupancy [ny+2, NT] int32. Replaces the make_density + make_force
+    pair with one pass that fetches each row once and keeps rho on-chip;
+    pressure is EOS(rho) inline."""
     if ny < 2:
         raise ValueError("pair sweep needs ny >= 2")
     NTX = NT * TX
@@ -817,7 +957,7 @@ def make_pair_sweep(ny: int, NT: int, K: int, h: float, poly6: float,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[out_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((5, 6, K, NTX), dtype),      # row-slab ring
+            pltpu.VMEM((5, F, K, NTX), dtype),      # row-slab ring
             pltpu.VMEM((3, K, NTX), dtype),          # rho ring
             pltpu.SemaphoreType.DMA((5,)),
         ],
@@ -834,6 +974,183 @@ def make_pair_sweep(ny: int, NT: int, K: int, h: float, poly6: float,
         return call(rm2, D6)
 
     return sweep
+
+
+# ---------------------------------------------------------------------------
+# Migration kernel: kick + drift + cell migration on the 9-plane state stack
+# ---------------------------------------------------------------------------
+# Plane order of the SUB-STEP INPUT stack ST [ny+2, 9, K, NT*TX]:
+#   0 x, 1 y, 2 vx, 3 vy, 4 ax, 5 ay, 6 m, 7 id, 8 occ
+# Plane order of the MIGRATED output stack M9 (the same [ny+2, 9, K, NT*TX]):
+#   0 x1, 1 y1, 2 vx, 3 vy, 4 m, 5 occ, 6 hx, 7 hy, 8 id
+# — the first six planes are exactly the pair sweep's (x, y, vx, vy, m, occ)
+# field order, so M9 feeds make_pair_sweep(F=9) with no restack. Both the
+# PRE-KICK vx/vy (the force pass's viscosity reads them — the reference
+# stores vx and vxHalf separately, fluid_kernels.metal velocityVerletHalf)
+# and the half-kicked hx/hy (the second kick's base) must ride the
+# migration; neither is derivable from the other without also migrating
+# the accelerations.
+_ST_X, _ST_Y, _ST_VX, _ST_VY, _ST_AX, _ST_AY, _ST_M, _ST_ID, _ST_OCC = \
+    range(9)
+_M9_X, _M9_Y, _M9_VX, _M9_VY, _M9_M, _M9_OCC, _M9_HX, _M9_HY, _M9_ID = \
+    range(9)
+
+
+def _migrate_kernel(half_dt, sub_dt, lim, cell, eps, gmin, nx, ny,
+                    K, TX, NT, rm_ref, *refs):
+    """Kick + drift + per-sub-step cell migration for one (row, tile).
+
+    Pallas port of sph.py's XLA ``_migrate`` (single-device geometry), with
+    the first velocity kick and the clamped drift fused in. Candidate slots
+    are scanned in the XLA path's exact (dy, dx, slot) order with a running
+    per-cell count, so the compacted slot assignment — and therefore the
+    deterministic overflow-drop set — is bit-identical to the XLA path.
+    The candidate axis is occupancy-bounded per source row (CH-slot fori
+    chunks, like the force kernel); empty 3x3 windows skip entirely.
+    """
+    rows = _row_blocks(refs[:9])
+    out = refs[9]                   # [1, 9, K, TX]
+    fscr = refs[10]                 # VMEM f32 [8, K, TX+2] staged values
+    iscr = refs[11]                 # VMEM i32 [2, K, TX+2] relative targets
+    p = pl.program_id(0)            # padded target row, 0..ny+1
+    t = pl.program_id(1)
+    CH = 8 if K % 8 == 0 else 1
+
+    def srow_clip(r):
+        return jnp.clip(p - 1 + r, 0, ny + 1)
+
+    wb = jnp.int32(0)
+    for r in (0, 1, 2):
+        wb = jnp.maximum(wb, _src_bound(rm_ref, srow_clip(r), t, NT))
+
+    @pl.when(wb == 0)
+    def _():
+        out[0] = jnp.zeros((9, K, TX), out.dtype)
+
+    @pl.when(wb > 0)
+    def _():
+        kio = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+        trilCH = (jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+                  >= jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)) \
+            .astype(out.dtype)
+        accs = [jnp.zeros((K, TX), out.dtype) for _ in range(8)]
+        cnt = jnp.zeros((1, TX), jnp.int32)
+        # grid col of window position w (target tile t): padded col
+        # t*TX + w - 1, grid col = padded - 1
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (K, TX + 2), 1) \
+            + (t * TX - 2)
+        for r in (0, 1, 2):
+            bl, bm, br = rows[r]
+
+            def e9(f, zh=False):
+                L = bl[0, f, :, TX - 1:TX]
+                C = bm[0, f]
+                R = br[0, f, :, :1]
+                if zh:
+                    L = jnp.where(t == 0, 0.0, L)
+                    R = jnp.where(t == NT - 1, 0.0, R)
+                return jnp.concatenate([L, C, R], axis=-1)   # [K, TX+2]
+
+            occe = e9(_ST_OCC, zh=True)
+            vhx = e9(_ST_VX) + half_dt * e9(_ST_AX)
+            vhy = e9(_ST_VY) + half_dt * e9(_ST_AY)
+            x1 = e9(_ST_X) + jnp.clip(vhx * sub_dt, -lim, lim)
+            y1 = e9(_ST_Y) + jnp.clip(vhy * sub_dt, -lim, lim)
+            gx = jnp.clip(jnp.floor((x1 + eps) / cell).astype(jnp.int32)
+                          - gmin, 0, nx - 1)
+            gy = jnp.clip(jnp.floor((y1 + eps) / cell).astype(jnp.int32)
+                          - gmin, 0, ny - 1)
+            # source grid row of this block: padded row (p-1+r) minus the
+            # 1-row padding. Edge blocks are clipped duplicates, but their
+            # sources are apron rows (occ always 0 single-device) or rows
+            # whose relative codes can never match this target row.
+            srow = p - 2 + r
+            live = occe > 0
+            dxr = jnp.where(live, jnp.clip(gx - gcol, -1, 1), -9)
+            dyr = jnp.where(live, jnp.clip(gy - srow, -1, 1), -9)
+            fscr[...] = jnp.stack([x1, y1, e9(_ST_VX), e9(_ST_VY),
+                                   e9(_ST_M), vhx, vhy, e9(_ST_ID)])
+            iscr[...] = jnp.stack([dxr, dyr])
+            bound = _src_bound(rm_ref, srow_clip(r), t, NT)
+            for dx in (0, 1, 2):
+                want_dx = jnp.int32(1 - dx)
+                want_dy = jnp.int32(1 - r)
+
+                def body(i, carry, dx=dx, want_dx=want_dx, want_dy=want_dy):
+                    *acc, cn = carry
+                    sl = fscr[:, pl.ds(i * CH, CH), :]   # [8, CH, TX+2]
+                    cd = iscr[:, pl.ds(i * CH, CH), :]
+                    m_ = (cd[0, :, dx:dx + TX] == want_dx) & \
+                         (cd[1, :, dx:dx + TX] == want_dy)   # [CH, TX]
+                    # inclusive prefix sum along the CH sublanes via a
+                    # lower-triangular matmul (exact: 0/1 values, f32
+                    # accumulation; cumsum has no Pallas TPU lowering and
+                    # log2(CH) pltpu.roll shift-adds measured ~11% slower
+                    # end-to-end)
+                    local = jax.lax.dot(
+                        trilCH, m_.astype(out.dtype)).astype(jnp.int32)
+                    rank = cn + local - 1                    # [CH, TX]
+                    oh = m_[None] & (rank[None] == kio)      # [K, CH, TX]
+                    acc = [a + jnp.where(oh, sl[f, :, dx:dx + TX][None],
+                                         0.0).sum(1)
+                           for f, a in enumerate(acc)]
+                    return (*acc, cn + local[CH - 1:CH])
+
+                nit = (bound + CH - 1) // CH
+                *accs, cnt = jax.lax.fori_loop(
+                    0, nit, body, (*accs, cnt))
+        occ_out = (kio[:, :, 0] < cnt).astype(out.dtype)     # [K, TX]
+        out[0, _M9_X] = accs[0]
+        out[0, _M9_Y] = accs[1]
+        out[0, _M9_VX] = accs[2]
+        out[0, _M9_VY] = accs[3]
+        out[0, _M9_M] = accs[4]
+        out[0, _M9_OCC] = occ_out
+        out[0, _M9_HX] = accs[5]
+        out[0, _M9_HY] = accs[6]
+        out[0, _M9_ID] = accs[7]
+
+
+def make_migrate(ny: int, nx: int, NT: int, K: int, half_dt: float,
+                 sub_dt: float, lim: float, cell: float, eps: float,
+                 gmin: int, TX: int = TILE_X, dtype=jnp.float32,
+                 interpret: bool = False):
+    """Returns ``migrate(rm, ST) -> M9``.
+
+    ST is the sub-step state stack [ny+2, 9(x,y,vx,vy,ax,ay,m,id,occ), K,
+    NT*TX]; rm is the per-(padded row, tile) max cell occupancy [ny+2, NT]
+    int32. M9 is the kicked/drifted/migrated stack [ny+2,
+    9(x,y,vx,vy,m,occ,hx,hy,id), K, NT*TX] whose apron rows are zero."""
+    kern = functools.partial(_migrate_kernel, half_dt, sub_dt, lim, cell,
+                             eps, gmin, nx, ny, K, TX, NT)
+    in_specs = []
+    for r in (0, 1, 2):
+        for c in (-1, 0, 1):
+            def imap(p, t, rm, r=r, c=c):
+                return (jnp.clip(p - 1 + r, 0, ny + 1), 0, 0,
+                        jnp.clip(t + c, 0, NT - 1))
+            in_specs.append(pl.BlockSpec((1, 9, K, TX), imap,
+                                         memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ny + 2, NT),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 9, K, TX), lambda p, t, rm: (p, 0, 0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, K, TX + 2), dtype),
+                        pltpu.VMEM((2, K, TX + 2), jnp.int32)],
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ny + 2, 9, K, NT * TX), dtype),
+        interpret=interpret,
+    )
+
+    def migrate(rm, ST):
+        return call(rm, *([ST] * 9))
+
+    return migrate
 
 
 # ---------------------------------------------------------------------------

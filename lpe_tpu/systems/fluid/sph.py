@@ -1062,6 +1062,65 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
     # far beyond the reference's own velocity-explosion guards.
     _RES_LIM = 0.45 * cell
 
+    # ------------------------------------------------------------------
+    # Stacked-state kernel chain (TPU resident default): the whole sub-step
+    # is three Pallas kernels over one [ny+2, 9, K, NTX] state stack —
+    # migrate (kick+drift+compaction, replacing the XLA one-hot _migrate,
+    # which profiled at ~45% of the 100k dam tick) -> pair sweep -> coupling
+    # (which re-emits the next sub-step's stack). XLA does only the tiny
+    # per-tile occupancy bounds and the per-rigid partial reduction.
+    # ------------------------------------------------------------------
+    use_stacked = use_sweep and mesh is None
+    if use_stacked:
+        from ...ops.pallas_sph import (make_coupling9, make_migrate)
+        _pl_migrate = make_migrate(ny, nx, _NT, K, half_dt, sub_dt,
+                                   _RES_LIM, cell, eps, gmin,
+                                   interpret=_interp)
+        _pl_sweep9 = make_pair_sweep(
+            ny, _NT, K, h, POLY6, SPIKY, VISC, fc.viscosity,
+            nm.min_distance_threshold, nm.min_density_threshold,
+            fc.stiffness, fc.rest_density, interpret=_interp, F=9)
+        if use_cpl_kernel:
+            _pl_couple9 = make_coupling9(ny, _NT, K, NR, _VR, _CN,
+                                         half_dt, fc.stiffness, RC=_RC,
+                                         interpret=_interp)
+
+    def _make_res_substep_st(R, rig_tab, cand_tab):
+        """Sub-step on the stacked state (see the comment block above).
+        Carry: ST [ny+2, 9(x,y,vx,vy,ax,ay,m,id,occ), K, NTX], RHO (the
+        last sweep's interior rho rows, for tick-end readback), Fx/Fy/Tq."""
+        def substep(_, cr):
+            ST = cr["ST"]
+            rm = _tile_bounds_t(ST[:, 8])
+            with jax.named_scope("migrate"):
+                M9 = _pl_migrate(rm, ST)
+            rm2 = _tile_bounds_t(M9[:, 5])
+            rho_rows, fx_rows, fy_rows = _pl_sweep9(rm2, M9)
+            if NR > 0:
+                cpl2 = _cpl_mask(rm2, R)
+                ST2, parts = _pl_couple9(cpl2, cand_tab, rig_tab, M9,
+                                         rho_rows, fx_rows, fy_rows)
+                pr = parts.reshape(-1, 4)
+                ids = jnp.round(pr[:, 3]).astype(jnp.int32)
+                acc = jnp.zeros((NR + 1, 3), pr.dtype).at[ids].add(
+                    pr[:, :3], mode="drop")
+                return dict(ST=ST2, RHO=rho_rows,
+                            Fx=cr["Fx"] + acc[:NR, 0],
+                            Fy=cr["Fy"] + acc[:NR, 1],
+                            Tq=cr["Tq"] + acc[:NR, 2])
+            # no rigids: second kick + restack in XLA
+            pad_r = lambda v: jnp.pad(v, ((1, 1), (0, 0), (0, 0)))
+            fxp = pad_r(fx_rows)
+            fyp = pad_r(fy_rows)
+            vx1 = M9[:, 6] + half_dt * fxp
+            vy1 = M9[:, 7] + half_dt * fyp
+            ST2 = jnp.stack([M9[:, 0], M9[:, 1], vx1, vy1, fxp, fyp,
+                             M9[:, 4], M9[:, 8], M9[:, 5]], axis=1)
+            return dict(ST=ST2, RHO=rho_rows, Fx=cr["Fx"], Fy=cr["Fy"],
+                        Tq=cr["Tq"])
+
+        return substep
+
     def _make_res_substep(R, rig_tab, cand_tab, _ablate):
         lim = _RES_LIM
 
@@ -1167,6 +1226,32 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             cand_tab = _cand_rows(R, ny + 2)
         zd = jnp.zeros_like(D["x"])
         dt_ = D["x"].dtype
+        if use_stacked and _ablate == "":
+            # stack the dict planes once per tick (ax/ay reset to zero);
+            # the sub-step loop carries the [ny+2, 9, K, NTX] stack between
+            # the three kernels with no per-sub-step restacks
+            zp = _padx(zd)
+            ST = jnp.stack([_padx(D["x"]), _padx(D["y"]), _padx(D["vx"]),
+                            _padx(D["vy"]), zp, zp, _padx(D["m"]),
+                            _padx(D["id"]), _padx(D["occ"])], axis=1)
+            carry0 = dict(ST=ST, RHO=jnp.zeros((ny, K, _nxp_t), dt_),
+                          Fx=jnp.zeros((max(NR, 1),), dt_),
+                          Fy=jnp.zeros((max(NR, 1),), dt_),
+                          Tq=jnp.zeros((max(NR, 1),), dt_))
+            substep = _make_res_substep_st(R, rig_tab, cand_tab)
+            cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
+            STf = cr["ST"]
+            unp = lambda v: v[:, :, :nxp]
+            rho_pad = jnp.pad(cr["RHO"][:, :, :nxp],
+                              ((1, 1), (0, 0), (0, 0)))
+            D2 = dict(x=unp(STf[:, 0]), y=unp(STf[:, 1]),
+                      vx=unp(STf[:, 2]), vy=unp(STf[:, 3]),
+                      ax=unp(STf[:, 4]), ay=unp(STf[:, 5]),
+                      m=unp(STf[:, 6]), id=unp(STf[:, 7]),
+                      occ=unp(STf[:, 8]), hx=zd, hy=zd,
+                      rho=rho_pad, p=_eos(rho_pad))
+            return (_finalize_rigid(state, cr["Fx"], cr["Fy"], cr["Tq"]),
+                    D2)
         carry0 = dict(D=dict(D, ax=zd, ay=zd),
                       Fx=jnp.zeros((max(NR, 1),), dt_),
                       Fy=jnp.zeros((max(NR, 1),), dt_),
