@@ -625,7 +625,7 @@ def make_coupling9(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
                    interpret: bool = False):
     """Returns ``couple9(cpl2, cand, rig, M9, rho, fx, fy) -> (ST, partials)``.
 
-    M9 is make_migrate's output stack [ny+2, 9, K, NT*TX]; rho/fx/fy are
+    M9 is make_migrate_ring's output stack [ny+2, 9, K, NT*TX]; rho/fx/fy are
     the pair sweep's interior rows [ny, K, NT*TX]. ST is the next
     sub-step's input stack [ny+2, 9(x,y,vx,vy,ax,ay,m,id,occ), K, NT*TX]
     (apron rows zero); partials are per-(padded row, tile) (fx, fy, tq, id)
@@ -938,7 +938,7 @@ def make_pair_sweep(ny: int, NT: int, K: int, h: float, poly6: float,
 
     D6 is the ROW-MAJOR field stack [ny+2, F, K, NT*TX] whose FIRST SIX
     planes are (x, y, vx, vy, m, occ) — F > 6 (e.g. the 9-plane migrated
-    stack from make_migrate) just rides along in the slab DMA (one
+    stack from make_migrate_ring) just rides along in the slab DMA (one
     contiguous descriptor per row); rm2 is the per-(padded-row, tile) max
     cell occupancy [ny+2, NT] int32. Replaces the make_density + make_force
     pair with one pass that fetches each row once and keeps rho on-chip;
@@ -996,159 +996,209 @@ _M9_X, _M9_Y, _M9_VX, _M9_VY, _M9_M, _M9_OCC, _M9_HX, _M9_HY, _M9_ID = \
     range(9)
 
 
-def _migrate_kernel(half_dt, sub_dt, lim, cell, eps, gmin, nx, ny,
-                    K, TX, NT, rm_ref, *refs):
-    """Kick + drift + per-sub-step cell migration for one (row, tile).
+def _migrate_ring_kernel(half_dt, sub_dt, lim, cell, eps, gmin, nx, ny,
+                         K, TX, NT, NTX, rm_ref, d_ref, out,
+                         slabs, encs, sems):
+    """Migration kernel, one program per padded row with ring DMA.
 
-    Pallas port of sph.py's XLA ``_migrate`` (single-device geometry), with
-    the first velocity kick and the clamped drift fused in. Candidate slots
-    are scanned in the XLA path's exact (dy, dx, slot) order with a running
-    per-cell count, so the compacted slot assignment — and therefore the
-    deterministic overflow-drop set — is bit-identical to the XLA path.
-    The candidate axis is occupancy-bounded per source row (CH-slot fori
-    chunks, like the force kernel); empty 3x3 windows skip entirely.
-    """
-    rows = _row_blocks(refs[:9])
-    out = refs[9]                   # [1, 9, K, TX]
-    fscr = refs[10]                 # VMEM f32 [8, K, TX+2] staged values
-    iscr = refs[11]                 # VMEM i32 [2, K, TX+2] relative targets
-    p = pl.program_id(0)            # padded target row, 0..ny+1
-    t = pl.program_id(1)
-    CH = 8 if K % 8 == 0 else 1
+    An earlier variant (git: "Stacked-state Pallas substep chain") fetched
+    its 3x3 (row, tile) BlockSpec neighborhood per program — a 9x HBM read
+    amplification that made it DMA-bound at large N (~2.2 GB/sub-step at
+    100k; measured 2x end-to-end: 7.9 -> 3.9 ms/call at 100k-dam dims,
+    bitwise-identical output). Here each raw row is DMA'd ONCE
+    into a 5-slot ring and kick-drifted in place (planes 0/1 <- drifted
+    x/y, planes 4/5 <- half-kicked hx/hy), with packed int32 cell targets
+    (padded_row * _ENC + padded_col) in a parallel ring; target row p is
+    then compacted from drifted rows p-1..p+1 in the exact (dy, dx, slot)
+    candidate order of sph.py's XLA ``_migrate``, so slot assignment and
+    the deterministic overflow-drop set are bit-identical to the XLA
+    path. Candidate slots use a static half-K fast path (like the
+    sweep kernel) when the window's occupancy bound allows."""
+    p = pl.program_id(0)
+    NY2 = ny + 2
+    f32 = out.dtype
 
-    def srow_clip(r):
-        return jnp.clip(p - 1 + r, 0, ny + 1)
+    def dma(q):
+        return pltpu.make_async_copy(d_ref.at[q], slabs.at[q % 5],
+                                     sems.at[q % 5])
 
-    wb = jnp.int32(0)
-    for r in (0, 1, 2):
-        wb = jnp.maximum(wb, _src_bound(rm_ref, srow_clip(r), t, NT))
+    def row_occ(r):
+        b = jnp.int32(0)
+        for t in range(NT):
+            b = jnp.maximum(b, rm_ref[jnp.clip(r, 0, NY2 - 1), t])
+        return jnp.where((r >= 0) & (r < NY2), b, 0)
 
-    @pl.when(wb == 0)
-    def _():
-        out[0] = jnp.zeros((9, K, TX), out.dtype)
+    def dma_start(q):
+        @pl.when(row_occ(q) > 0)
+        def _():
+            dma(q).start()
 
-    @pl.when(wb > 0)
-    def _():
-        kio = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
-        trilCH = (jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
-                  >= jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)) \
-            .astype(out.dtype)
-        accs = [jnp.zeros((K, TX), out.dtype) for _ in range(8)]
+    def dma_wait(q):
+        @pl.when(row_occ(q) > 0)
+        def _():
+            dma(q).wait()
+
+    def drift(r):
+        """Kick-drift raw row r in place + packed migration targets.
+        Skipped (encs <- -1) when the row is empty, so stale slab values
+        never match a target."""
+        s = r % 5
+
+        @pl.when(row_occ(r) > 0)
+        def _():
+            occ = slabs[s, _ST_OCC]
+            hx = slabs[s, _ST_VX] + half_dt * slabs[s, _ST_AX]
+            hy = slabs[s, _ST_VY] + half_dt * slabs[s, _ST_AY]
+            x1 = slabs[s, _ST_X] + jnp.clip(hx * sub_dt, -lim, lim)
+            y1 = slabs[s, _ST_Y] + jnp.clip(hy * sub_dt, -lim, lim)
+            slabs[s, _ST_X] = x1
+            slabs[s, _ST_Y] = y1
+            slabs[s, _ST_AX] = hx
+            slabs[s, _ST_AY] = hy
+            tgx = jnp.clip(jnp.floor((x1 + eps) / cell).astype(jnp.int32)
+                           - gmin, 0, nx - 1) + 1
+            tgy = jnp.clip(jnp.floor((y1 + eps) / cell).astype(jnp.int32)
+                           - gmin, 0, ny - 1) + 1
+            encs[s] = jnp.where(occ > 0, tgy * _ENC + tgx, -1)
+
+        @pl.when(row_occ(r) == 0)
+        def _():
+            encs[s] = jnp.full((K, NTX), -1, jnp.int32)
+
+    def ext_win(vals, t):
+        """[*, TX+2] halo-extended columns of tile t of a [*, NTX] value
+        (outer grid columns are aprons; zero pad at array edges is exact —
+        enc 0 never matches a live target, which is >= _ENC)."""
+        z1 = jnp.zeros((vals.shape[0], 1), vals.dtype)
+        lo = t * TX
+        left = z1 if t == 0 else vals[:, lo - 1:lo]
+        right = z1 if (t + 1) * TX + 1 > NTX else \
+            vals[:, lo + TX:lo + TX + 1]
+        return jnp.concatenate([left, vals[:, lo:lo + TX], right], axis=-1)
+
+    ksl = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+    KH = K // 2 if (K % 16 == 0) else K
+
+    def mig_tile(t, KC):
+        """Compact tile t of target row p from the drifted ring, candidate
+        slot axis statically sliced to KC (sound: every source window slot
+        >= its row's occupancy bound <= KC is empty)."""
+        trilC = (jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+                 >= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)) \
+            .astype(f32)
+        colg = t * TX + jax.lax.broadcasted_iota(jnp.int32, (1, TX), 1)
+        target = p * _ENC + colg
         cnt = jnp.zeros((1, TX), jnp.int32)
-        # grid col of window position w (target tile t): padded col
-        # t*TX + w - 1, grid col = padded - 1
-        gcol = jax.lax.broadcasted_iota(jnp.int32, (K, TX + 2), 1) \
-            + (t * TX - 2)
-        for r in (0, 1, 2):
-            bl, bm, br = rows[r]
+        accs = [jnp.zeros((K, TX), f32) for _ in range(8)]
+        for dr in range(3):
+            sr = (p - 1 + dr) % 5
+            ee = ext_win(encs[sr][:KC], t)
+            ef = [ext_win(slabs[sr, f][:KC], t) for f in range(8)]
+            for dx in range(3):
+                match = ee[:, dx:dx + TX] == target          # [KC, TX]
+                local = jax.lax.dot(
+                    trilC, match.astype(f32)).astype(jnp.int32)
+                rank = (cnt + local - 1)[None]               # [1, KC, TX]
+                oh = match[None] & (rank == ksl)             # [K, KC, TX]
+                for f in range(8):
+                    accs[f] = accs[f] + jnp.where(
+                        oh, ef[f][:, dx:dx + TX][None], 0.0).sum(1)
+                cnt = cnt + local[KC - 1:KC]
+        occ_out = (kcol < cnt).astype(f32)                   # [K, TX]
+        # M9 plane order: x, y, vx, vy, m, occ, hx, hy, id (accs are in
+        # drifted-slab plane order: x, y, vx, vy, hx, hy, m, id)
+        out[0, :, :, t * TX:(t + 1) * TX] = jnp.stack(
+            [accs[0], accs[1], accs[2], accs[3], accs[6], occ_out,
+             accs[4], accs[5], accs[7]])
 
-            def e9(f, zh=False):
-                L = bl[0, f, :, TX - 1:TX]
-                C = bm[0, f]
-                R = br[0, f, :, :1]
-                if zh:
-                    L = jnp.where(t == 0, 0.0, L)
-                    R = jnp.where(t == NT - 1, 0.0, R)
-                return jnp.concatenate([L, C, R], axis=-1)   # [K, TX+2]
+    # ---- schedule ---------------------------------------------------------
+    @pl.when(p == 0)
+    def _():                            # warmup: rows 0..2 in flight
+        dma_start(0)
+        dma_start(1)
+        dma_start(2)
+        dma_wait(0)
+        drift(0)
+        encs[4] = jnp.full((K, NTX), -1, jnp.int32)   # row -1 slot
 
-            occe = e9(_ST_OCC, zh=True)
-            vhx = e9(_ST_VX) + half_dt * e9(_ST_AX)
-            vhy = e9(_ST_VY) + half_dt * e9(_ST_AY)
-            x1 = e9(_ST_X) + jnp.clip(vhx * sub_dt, -lim, lim)
-            y1 = e9(_ST_Y) + jnp.clip(vhy * sub_dt, -lim, lim)
-            gx = jnp.clip(jnp.floor((x1 + eps) / cell).astype(jnp.int32)
-                          - gmin, 0, nx - 1)
-            gy = jnp.clip(jnp.floor((y1 + eps) / cell).astype(jnp.int32)
-                          - gmin, 0, ny - 1)
-            # source grid row of this block: padded row (p-1+r) minus the
-            # 1-row padding. Edge blocks are clipped duplicates, but their
-            # sources are apron rows (occ always 0 single-device) or rows
-            # whose relative codes can never match this target row.
-            srow = p - 2 + r
-            live = occe > 0
-            dxr = jnp.where(live, jnp.clip(gx - gcol, -1, 1), -9)
-            dyr = jnp.where(live, jnp.clip(gy - srow, -1, 1), -9)
-            fscr[...] = jnp.stack([x1, y1, e9(_ST_VX), e9(_ST_VY),
-                                   e9(_ST_M), vhx, vhy, e9(_ST_ID)])
-            iscr[...] = jnp.stack([dxr, dyr])
-            bound = _src_bound(rm_ref, srow_clip(r), t, NT)
-            for dx in (0, 1, 2):
-                want_dx = jnp.int32(1 - dx)
-                want_dy = jnp.int32(1 - r)
+    @pl.when(p + 3 < NY2)
+    def _():
+        dma_start(p + 3)
 
-                def body(i, carry, dx=dx, want_dx=want_dx, want_dy=want_dy):
-                    *acc, cn = carry
-                    sl = fscr[:, pl.ds(i * CH, CH), :]   # [8, CH, TX+2]
-                    cd = iscr[:, pl.ds(i * CH, CH), :]
-                    m_ = (cd[0, :, dx:dx + TX] == want_dx) & \
-                         (cd[1, :, dx:dx + TX] == want_dy)   # [CH, TX]
-                    # inclusive prefix sum along the CH sublanes via a
-                    # lower-triangular matmul (exact: 0/1 values, f32
-                    # accumulation; cumsum has no Pallas TPU lowering and
-                    # log2(CH) pltpu.roll shift-adds measured ~11% slower
-                    # end-to-end)
-                    local = jax.lax.dot(
-                        trilCH, m_.astype(out.dtype)).astype(jnp.int32)
-                    rank = cn + local - 1                    # [CH, TX]
-                    oh = m_[None] & (rank[None] == kio)      # [K, CH, TX]
-                    acc = [a + jnp.where(oh, sl[f, :, dx:dx + TX][None],
-                                         0.0).sum(1)
-                           for f, a in enumerate(acc)]
-                    return (*acc, cn + local[CH - 1:CH])
+    @pl.when(p + 1 < NY2)
+    def _():
+        dma_wait(p + 1)
+        drift(p + 1)
 
-                nit = (bound + CH - 1) // CH
-                *accs, cnt = jax.lax.fori_loop(
-                    0, nit, body, (*accs, cnt))
-        occ_out = (kio[:, :, 0] < cnt).astype(out.dtype)     # [K, TX]
-        out[0, _M9_X] = accs[0]
-        out[0, _M9_Y] = accs[1]
-        out[0, _M9_VX] = accs[2]
-        out[0, _M9_VY] = accs[3]
-        out[0, _M9_M] = accs[4]
-        out[0, _M9_OCC] = occ_out
-        out[0, _M9_HX] = accs[5]
-        out[0, _M9_HY] = accs[6]
-        out[0, _M9_ID] = accs[7]
+    @pl.when(p + 1 >= NY2)
+    def _():                            # row ny+2 slot: never a source
+        encs[(p + 1) % 5] = jnp.full((K, NTX), -1, jnp.int32)
+
+    # aprons are never migration targets (gy is clipped to the grid)
+    for t in range(NT):
+        wb = jnp.int32(0)
+        for dr in range(3):
+            wb = jnp.maximum(wb, _src_bound(
+                rm_ref, jnp.clip(p - 1 + dr, 0, NY2 - 1), t, NT))
+        run = (p >= 1) & (p <= ny)
+
+        @pl.when(~run | (wb == 0))
+        def _(t=t):
+            out[0, :, :, t * TX:(t + 1) * TX] = jnp.zeros((9, K, TX), f32)
+
+        if KH < K:
+            @pl.when(run & (wb > 0) & (wb <= KH))
+            def _(t=t):
+                mig_tile(t, KH)
+
+            @pl.when(run & (wb > KH))
+            def _(t=t):
+                mig_tile(t, K)
+        else:
+            @pl.when(run & (wb > 0))
+            def _(t=t):
+                mig_tile(t, K)
 
 
-def make_migrate(ny: int, nx: int, NT: int, K: int, half_dt: float,
-                 sub_dt: float, lim: float, cell: float, eps: float,
-                 gmin: int, TX: int = TILE_X, dtype=jnp.float32,
-                 interpret: bool = False):
+def make_migrate_ring(ny: int, nx: int, NT: int, K: int, half_dt: float,
+                      sub_dt: float, lim: float, cell: float, eps: float,
+                      gmin: int, TX: int = TILE_X, dtype=jnp.float32,
+                      interpret: bool = False):
     """Returns ``migrate(rm, ST) -> M9``.
 
     ST is the sub-step state stack [ny+2, 9(x,y,vx,vy,ax,ay,m,id,occ), K,
     NT*TX]; rm is the per-(padded row, tile) max cell occupancy [ny+2, NT]
-    int32. M9 is the kicked/drifted/migrated stack [ny+2,
-    9(x,y,vx,vy,m,occ,hx,hy,id), K, NT*TX] whose apron rows are zero."""
-    kern = functools.partial(_migrate_kernel, half_dt, sub_dt, lim, cell,
-                             eps, gmin, nx, ny, K, TX, NT)
-    in_specs = []
-    for r in (0, 1, 2):
-        for c in (-1, 0, 1):
-            def imap(p, t, rm, r=r, c=c):
-                return (jnp.clip(p - 1 + r, 0, ny + 1), 0, 0,
-                        jnp.clip(t + c, 0, NT - 1))
-            in_specs.append(pl.BlockSpec((1, 9, K, TX), imap,
-                                         memory_space=pltpu.VMEM))
+    int32 of ST's occ plane. M9 is the kicked/drifted/migrated stack
+    [ny+2, 9(x,y,vx,vy,m,occ,hx,hy,id), K, NT*TX]; apron rows are zero."""
+    if ny < 2:
+        raise ValueError("ring migrate needs ny >= 2")
+    if nx + 2 >= _ENC:
+        raise ValueError(f"grid too wide for packed targets (nx={nx})")
+    NTX = NT * TX
+    kern = functools.partial(_migrate_ring_kernel, half_dt, sub_dt, lim,
+                             cell, eps, gmin, nx, ny, K, TX, NT, NTX)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ny + 2, NT),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 9, K, TX), lambda p, t, rm: (p, 0, 0, t),
+        grid=(ny + 2,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 9, K, NTX), lambda p, rm: (p, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, K, TX + 2), dtype),
-                        pltpu.VMEM((2, K, TX + 2), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((5, 9, K, NTX), dtype),       # raw/drifted row ring
+            pltpu.VMEM((5, K, NTX), jnp.int32),      # packed targets
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
     )
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ny + 2, 9, K, NT * TX), dtype),
+        out_shape=jax.ShapeDtypeStruct((ny + 2, 9, K, NTX), dtype),
         interpret=interpret,
     )
 
     def migrate(rm, ST):
-        return call(rm, *([ST] * 9))
+        return call(rm, ST)
 
     return migrate
 

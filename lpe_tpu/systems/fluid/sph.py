@@ -1072,10 +1072,10 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
     # ------------------------------------------------------------------
     use_stacked = use_sweep and mesh is None
     if use_stacked:
-        from ...ops.pallas_sph import (make_coupling9, make_migrate)
-        _pl_migrate = make_migrate(ny, nx, _NT, K, half_dt, sub_dt,
-                                   _RES_LIM, cell, eps, gmin,
-                                   interpret=_interp)
+        from ...ops.pallas_sph import (make_coupling9, make_migrate_ring)
+        _pl_migrate = make_migrate_ring(ny, nx, _NT, K, half_dt, sub_dt,
+                                        _RES_LIM, cell, eps, gmin,
+                                        interpret=_interp)
         _pl_sweep9 = make_pair_sweep(
             ny, _NT, K, h, POLY6, SPIKY, VISC, fc.viscosity,
             nm.min_distance_threshold, nm.min_density_threshold,
