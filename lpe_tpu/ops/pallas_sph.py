@@ -998,7 +998,7 @@ _M9_X, _M9_Y, _M9_VX, _M9_VY, _M9_M, _M9_OCC, _M9_HX, _M9_HY, _M9_ID = \
 
 def _migrate_ring_kernel(half_dt, sub_dt, lim, cell, eps, gmin, nx, ny,
                          K, TX, NT, NTX, rm_ref, d_ref, out,
-                         slabs, encs, sems):
+                         slabs, encs, sems, sacc, scnt):
     """Migration kernel, one program per padded row with ring DMA.
 
     An earlier variant (git: "Stacked-state Pallas substep chain") fetched
@@ -1083,34 +1083,43 @@ def _migrate_ring_kernel(half_dt, sub_dt, lim, cell, eps, gmin, nx, ny,
     def mig_tile(t, KC):
         """Compact tile t of target row p from the drifted ring, candidate
         slot axis statically sliced to KC (sound: every source window slot
-        >= its row's occupancy bound <= KC is empty)."""
+        >= its row's occupancy bound <= KC is empty). The drift clamp
+        (lim < cell/2) bounds cell changes to +-1, so in a typical
+        sub-step only the same-cell pass (dr=1, dx=1) has matches; each
+        pass's O(K*KC*TX) one-hot apply runs under pl.when(any match) —
+        empty passes cost one [KC, TX] compare + reduce. Running rank
+        counts and field sums live in VMEM scratch so the conditional
+        bodies can accumulate in place."""
         trilC = (jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
                  >= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)) \
             .astype(f32)
         colg = t * TX + jax.lax.broadcasted_iota(jnp.int32, (1, TX), 1)
         target = p * _ENC + colg
-        cnt = jnp.zeros((1, TX), jnp.int32)
-        accs = [jnp.zeros((K, TX), f32) for _ in range(8)]
+        scnt[...] = jnp.zeros((1, TX), jnp.int32)
+        sacc[...] = jnp.zeros((8, K, TX), f32)
         for dr in range(3):
             sr = (p - 1 + dr) % 5
             ee = ext_win(encs[sr][:KC], t)
             ef = [ext_win(slabs[sr, f][:KC], t) for f in range(8)]
             for dx in range(3):
                 match = ee[:, dx:dx + TX] == target          # [KC, TX]
-                local = jax.lax.dot(
-                    trilC, match.astype(f32)).astype(jnp.int32)
-                rank = (cnt + local - 1)[None]               # [1, KC, TX]
-                oh = match[None] & (rank == ksl)             # [K, KC, TX]
-                for f in range(8):
-                    accs[f] = accs[f] + jnp.where(
-                        oh, ef[f][:, dx:dx + TX][None], 0.0).sum(1)
-                cnt = cnt + local[KC - 1:KC]
-        occ_out = (kcol < cnt).astype(f32)                   # [K, TX]
-        # M9 plane order: x, y, vx, vy, m, occ, hx, hy, id (accs are in
+
+                @pl.when(jnp.sum(match.astype(jnp.int32)) > 0)
+                def _(match=match, ef=ef, dx=dx):
+                    local = jax.lax.dot(
+                        trilC, match.astype(f32)).astype(jnp.int32)
+                    rank = (scnt[...] + local - 1)[None]     # [1, KC, TX]
+                    oh = match[None] & (rank == ksl)         # [K, KC, TX]
+                    for f in range(8):
+                        sacc[f] = sacc[f] + jnp.where(
+                            oh, ef[f][:, dx:dx + TX][None], 0.0).sum(1)
+                    scnt[...] = scnt[...] + local[KC - 1:KC]
+        occ_out = (kcol < scnt[...]).astype(f32)             # [K, TX]
+        # M9 plane order: x, y, vx, vy, m, occ, hx, hy, id (sacc is in
         # drifted-slab plane order: x, y, vx, vy, hx, hy, m, id)
         out[0, :, :, t * TX:(t + 1) * TX] = jnp.stack(
-            [accs[0], accs[1], accs[2], accs[3], accs[6], occ_out,
-             accs[4], accs[5], accs[7]])
+            [sacc[0], sacc[1], sacc[2], sacc[3], sacc[6], occ_out,
+             sacc[4], sacc[5], sacc[7]])
 
     # ---- schedule ---------------------------------------------------------
     @pl.when(p == 0)
@@ -1188,6 +1197,8 @@ def make_migrate_ring(ny: int, nx: int, NT: int, K: int, half_dt: float,
             pltpu.VMEM((5, 9, K, NTX), dtype),       # raw/drifted row ring
             pltpu.VMEM((5, K, NTX), jnp.int32),      # packed targets
             pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((8, K, TX), dtype),           # per-tile field sums
+            pltpu.VMEM((1, TX), jnp.int32),          # per-tile rank counts
         ],
     )
     call = pl.pallas_call(
