@@ -270,229 +270,228 @@ def _couple_core(RC, V, cn, K, TX, t, crow, rig_ref, orf, cacc,
     (see _coupling_kernel). Writes the per-candidate (fx, fy, tq, id)
     partials into ``orf[0, t]`` and returns the updated particle planes
     (x, y, vx, vy, ax, ay), each [K, TX]."""
-    if True:
-        z = jnp.zeros((K, TX), px.dtype)
-        fz = jnp.zeros((K, TX), jnp.bool_)
-        # cross-candidate accumulators live in scratch so each candidate's
-        # heavy work (polygon vertex loops + impulse math) sits under a
-        # pl.when keyed on "any lane inside this candidate's AABB" — a
-        # tank's side walls are candidates in every row but touch almost no
-        # particles, and the skip is exact (a candidate with no lane in its
-        # AABB contributes identically zero). Planes: 0 acx, 1 acy (position
-        # corrections), 2 sfx, 3 sfy (fluid impulse force), 4 had_pos,
-        # 5 had_imp (0/1 flags).
-        cacc[...] = jnp.zeros((6, K, TX), px.dtype)
-        for i in range(4 * RC):        # SMEM scalars: one store each
-            orf[0, t, i] = jnp.float32(0.0)
-        for r in range(RC):
-            rd = crow[0, r]
-            rrow = rig_ref[pl.ds(rd, 1), :]                 # [1, W]
-            c = lambda i: rrow[0, i]
-            rpx, rpy, rvxs, rvys, rom = c(0), c(1), c(2), c(3), c(4)
-            rmass, rinert, rrad = c(5), c(6), c(7)
-            ric, rvalid, rnv = c(8), c(9), c(10)
-            minx, miny, maxx, maxy = c(11), c(12), c(13), c(14)
-            rx = px - rpx
-            ry = py - rpy
-            in_aabb = (px >= minx) & (px <= maxx) & \
-                      (py >= miny) & (py <= maxy) & (rvalid > 0) & (occ > 0)
+    z = jnp.zeros((K, TX), px.dtype)
+    fz = jnp.zeros((K, TX), jnp.bool_)
+    # cross-candidate accumulators live in scratch so each candidate's
+    # heavy work (polygon vertex loops + impulse math) sits under a
+    # pl.when keyed on "any lane inside this candidate's AABB" — a
+    # tank's side walls are candidates in every row but touch almost no
+    # particles, and the skip is exact (a candidate with no lane in its
+    # AABB contributes identically zero). Planes: 0 acx, 1 acy (position
+    # corrections), 2 sfx, 3 sfy (fluid impulse force), 4 had_pos,
+    # 5 had_imp (0/1 flags).
+    cacc[...] = jnp.zeros((6, K, TX), px.dtype)
+    for i in range(4 * RC):        # SMEM scalars: one store each
+        orf[0, t, i] = jnp.float32(0.0)
+    for r in range(RC):
+        rd = crow[0, r]
+        rrow = rig_ref[pl.ds(rd, 1), :]                 # [1, W]
+        c = lambda i: rrow[0, i]
+        rpx, rpy, rvxs, rvys, rom = c(0), c(1), c(2), c(3), c(4)
+        rmass, rinert, rrad = c(5), c(6), c(7)
+        ric, rvalid, rnv = c(8), c(9), c(10)
+        minx, miny, maxx, maxy = c(11), c(12), c(13), c(14)
+        rx = px - rpx
+        ry = py - rpy
+        in_aabb = (px >= minx) & (px <= maxx) & \
+                  (py >= miny) & (py <= maxy) & (rvalid > 0) & (occ > 0)
 
-            @pl.when(jnp.any(in_aabb))
-            def _():
-                # circle overlap (skipped at trace time for all-polygon scenes)
-                if cn["any_circle"]:
-                    d2 = rx * rx + ry * ry
-                    dist_c = jnp.sqrt(jnp.maximum(d2, 1e-30))
-                    inside_c = d2 < rrad * rrad
+        @pl.when(jnp.any(in_aabb))
+        def _():
+            # circle overlap (skipped at trace time for all-polygon scenes)
+            if cn["any_circle"]:
+                d2 = rx * rx + ry * ry
+                dist_c = jnp.sqrt(jnp.maximum(d2, 1e-30))
+                inside_c = d2 < rrad * rrad
+            else:
+                dist_c = jnp.full((K, TX), 1.0, px.dtype)
+                inside_c = fz
+            # polygon overlap: ray-cast parity + closest boundary point
+            # (reference: metal:125-194). Static vert unroll, nv-masked;
+            # skipped at trace time for all-circle scenes.
+            parity = jnp.zeros((K, TX), jnp.int32)
+            best_d2 = jnp.full((K, TX), 1e30, px.dtype)
+            cxb, cyb = z, z
+            for v in range(V if cn["any_poly"] else 0):
+                vm = jnp.float32(v) < rnv
+                xi, yi = c(15 + 2 * v), c(16 + 2 * v)
+                # prev vertex: v-1, wrapping v==0 -> nv-1 (scalar select
+                # over the static vert list keeps indexing static)
+                if v == 0:
+                    xj, yj = xi, yi
+                    for u in range(1, V):
+                        sel = jnp.float32(u) == rnv - 1.0
+                        xj = jnp.where(sel, c(15 + 2 * u), xj)
+                        yj = jnp.where(sel, c(16 + 2 * u), yj)
                 else:
-                    dist_c = jnp.full((K, TX), 1.0, px.dtype)
-                    inside_c = fz
-                # polygon overlap: ray-cast parity + closest boundary point
-                # (reference: metal:125-194). Static vert unroll, nv-masked;
-                # skipped at trace time for all-circle scenes.
-                parity = jnp.zeros((K, TX), jnp.int32)
-                best_d2 = jnp.full((K, TX), 1e30, px.dtype)
-                cxb, cyb = z, z
-                for v in range(V if cn["any_poly"] else 0):
-                    vm = jnp.float32(v) < rnv
-                    xi, yi = c(15 + 2 * v), c(16 + 2 * v)
-                    # prev vertex: v-1, wrapping v==0 -> nv-1 (scalar select
-                    # over the static vert list keeps indexing static)
-                    if v == 0:
-                        xj, yj = xi, yi
-                        for u in range(1, V):
-                            sel = jnp.float32(u) == rnv - 1.0
-                            xj = jnp.where(sel, c(15 + 2 * u), xj)
-                            yj = jnp.where(sel, c(16 + 2 * u), yj)
-                    else:
-                        xj = c(15 + 2 * (v - 1))
-                        yj = c(16 + 2 * (v - 1))
-                    denom = yj - yi
-                    tx_ = (xj - xi) * (py - yi) / jnp.where(
-                        jnp.abs(denom) < 1e-30, 1e-30, denom) + xi
-                    crosses = ((yi > py) != (yj > py)) & (px < tx_) & vm
-                    parity = parity + crosses.astype(jnp.int32)
-                    # closest point on edge v -> v+1 (wrap nv-1 -> 0)
-                    if v + 1 < V:
-                        wrap = jnp.float32(v) == rnv - 1.0
-                        x2s = jnp.where(wrap, c(15),
-                                        c(15 + 2 * (v + 1)))
-                        y2s = jnp.where(wrap, c(16),
-                                        c(16 + 2 * (v + 1)))
-                    else:
-                        x2s, y2s = c(15), c(16)
-                    ex = x2s - xi
-                    ey = y2s - yi
-                    el2 = ex * ex + ey * ey
-                    tt = ((px - xi) * ex + (py - yi) * ey) \
-                        / jnp.where(el2 < 1e-16, 1e-16, el2)
-                    tt = jnp.clip(tt, 0.0, 1.0)
-                    qx = xi + tt * ex
-                    qy = yi + tt * ey
-                    qd2 = (px - qx) ** 2 + (py - qy) ** 2
-                    qd2 = jnp.where(vm & (el2 >= 1e-16), qd2, 1e30)
-                    better = qd2 < best_d2
-                    best_d2 = jnp.where(better, qd2, best_d2)
-                    cxb = jnp.where(better, qx, cxb)
-                    cyb = jnp.where(better, qy, cyb)
-                inside_p = ((parity % 2) == 1) & (rnv >= 3.0)
-                pdx = px - cxb
-                pdy = py - cyb
-                dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
-                if cn["any_circle"] and cn["any_poly"]:
-                    is_c = ric > 0
-                    # boolean algebra, not jnp.where: Mosaic cannot legalize
-                    # arith.select on vector<i1> operands (bool-valued
-                    # selects), which this would lower to
-                    inside_s = (is_c & inside_c) | (~is_c & inside_p)
-                else:                      # uniform scenes: constant predicate,
-                    is_c = bool(cn["any_circle"])   # dead branch folds away
-                    inside_s = inside_c if is_c else inside_p
-                inside = in_aabb & inside_s
+                    xj = c(15 + 2 * (v - 1))
+                    yj = c(16 + 2 * (v - 1))
+                denom = yj - yi
+                tx_ = (xj - xi) * (py - yi) / jnp.where(
+                    jnp.abs(denom) < 1e-30, 1e-30, denom) + xi
+                crosses = ((yi > py) != (yj > py)) & (px < tx_) & vm
+                parity = parity + crosses.astype(jnp.int32)
+                # closest point on edge v -> v+1 (wrap nv-1 -> 0)
+                if v + 1 < V:
+                    wrap = jnp.float32(v) == rnv - 1.0
+                    x2s = jnp.where(wrap, c(15),
+                                    c(15 + 2 * (v + 1)))
+                    y2s = jnp.where(wrap, c(16),
+                                    c(16 + 2 * (v + 1)))
+                else:
+                    x2s, y2s = c(15), c(16)
+                ex = x2s - xi
+                ey = y2s - yi
+                el2 = ex * ex + ey * ey
+                tt = ((px - xi) * ex + (py - yi) * ey) \
+                    / jnp.where(el2 < 1e-16, 1e-16, el2)
+                tt = jnp.clip(tt, 0.0, 1.0)
+                qx = xi + tt * ex
+                qy = yi + tt * ey
+                qd2 = (px - qx) ** 2 + (py - qy) ** 2
+                qd2 = jnp.where(vm & (el2 >= 1e-16), qd2, 1e30)
+                better = qd2 < best_d2
+                best_d2 = jnp.where(better, qd2, best_d2)
+                cxb = jnp.where(better, qx, cxb)
+                cyb = jnp.where(better, qy, cyb)
+            inside_p = ((parity % 2) == 1) & (rnv >= 3.0)
+            pdx = px - cxb
+            pdy = py - cyb
+            dist_p = jnp.sqrt(jnp.maximum(pdx * pdx + pdy * pdy, 1e-30))
+            if cn["any_circle"] and cn["any_poly"]:
+                is_c = ric > 0
+                # boolean algebra, not jnp.where: Mosaic cannot legalize
+                # arith.select on vector<i1> operands (bool-valued
+                # selects), which this would lower to
+                inside_s = (is_c & inside_c) | (~is_c & inside_p)
+            else:                      # uniform scenes: constant predicate,
+                is_c = bool(cn["any_circle"])   # dead branch folds away
+                inside_s = inside_c if is_c else inside_p
+            inside = in_aabb & inside_s
 
-                # ---- position correction (metal:533-668) ----
-                msd = cn["min_safe_distance"]
-                d_c = jnp.maximum(dist_c, msd)
-                dirx_c = jnp.where(dist_c < msd, 1.0, rx / d_c)
-                diry_c = jnp.where(dist_c < msd, 0.0, ry / d_c)
-                pen_c = (rrad - d_c) + cn["safety_margin"]
-                d_p = jnp.maximum(dist_p, msd)
-                dirx_p = jnp.where(dist_p < msd, 1.0, pdx / d_p)
-                diry_p = jnp.where(dist_p < msd, 0.0, pdy / d_p)
-                pen_p = d_p + cn["safety_margin"]
-                corr_x = jnp.where(is_c, -dirx_c * pen_c, dirx_p * pen_p)
-                corr_y = jnp.where(is_c, -diry_c * pen_c, diry_p * pen_p)
-                cacc[0] = cacc[0] + jnp.where(
-                    inside, corr_x * cn["relax_factor"], 0.0)
-                cacc[1] = cacc[1] + jnp.where(
-                    inside, corr_y * cn["relax_factor"], 0.0)
-                cacc[4] = jnp.maximum(cacc[4], inside.astype(px.dtype))
+            # ---- position correction (metal:533-668) ----
+            msd = cn["min_safe_distance"]
+            d_c = jnp.maximum(dist_c, msd)
+            dirx_c = jnp.where(dist_c < msd, 1.0, rx / d_c)
+            diry_c = jnp.where(dist_c < msd, 0.0, ry / d_c)
+            pen_c = (rrad - d_c) + cn["safety_margin"]
+            d_p = jnp.maximum(dist_p, msd)
+            dirx_p = jnp.where(dist_p < msd, 1.0, pdx / d_p)
+            diry_p = jnp.where(dist_p < msd, 0.0, pdy / d_p)
+            pen_p = d_p + cn["safety_margin"]
+            corr_x = jnp.where(is_c, -dirx_c * pen_c, dirx_p * pen_p)
+            corr_y = jnp.where(is_c, -diry_c * pen_c, diry_p * pen_p)
+            cacc[0] = cacc[0] + jnp.where(
+                inside, corr_x * cn["relax_factor"], 0.0)
+            cacc[1] = cacc[1] + jnp.where(
+                inside, corr_y * cn["relax_factor"], 0.0)
+            cacc[4] = jnp.maximum(cacc[4], inside.astype(px.dtype))
 
-                # ---- impulse exchange (metal:679-924) ----
-                mpen = cn["min_penetration"]
-                rb_v2 = rvxs * rvxs + rvys * rvys + rom * rom
-                ok_r = rb_v2 <= cn["max_safe_velocity_sq"]
-                pen = jnp.where(is_c,
-                                jnp.maximum(rrad - jnp.maximum(dist_c, mpen),
-                                            0.0),
-                                jnp.maximum(dist_p, mpen))
-                nrm_x = jnp.where(is_c, rx / jnp.maximum(dist_c, mpen),
-                                  pdx / jnp.maximum(dist_p, mpen))
-                nrm_y = jnp.where(is_c, ry / jnp.maximum(dist_c, mpen),
-                                  pdy / jnp.maximum(dist_p, mpen))
-                act = inside & ok_r & (pen >= mpen)
-                dens = jnp.where(rho > 0.0, rho, cn["rest_density"])
-                rig_vx = rvxs - rom * ry
-                rig_vy = rvys + rom * rx
-                rvx = vx1 - rig_vx
-                rvy = vy1 - rig_vy
-                depth_f = jnp.tanh(cn["depth_transition_rate"] * pen
-                                   / cn["depth_scale"])
-                vn = rvx * nrm_x + rvy * nrm_y
-                tvx = rvx - nrm_x * vn
-                tvy = rvy - nrm_y * vn
-                vol = jnp.where(rho > 0, m / jnp.maximum(rho, 1e-30),
-                                m / cn["rest_density"])
-                area = jnp.abs(vol) ** (2.0 / 3.0)
-                depth = jnp.minimum(py / cn["depth_estimate_scale"], 1.0)
-                hydro = dens * cn["gravity"] * depth
-                total_p = p + hydro
-                pforce = total_p * area * depth_f
-                maxF = cn["max_force"]
-                fx = nrm_x * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
-                fy = nrm_y * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
-                tmag = jnp.sqrt(tvx * tvx + tvy * tvy)
-                hast = tmag > cn["min_rel_velocity"]
-                vforce = cn["viscosity"] * cn["viscosity_scale"] * tmag * dens \
-                    * depth_f * cn["sub_dt"]
-                vcap = jnp.minimum(vforce, maxF * cn["viscous_force_ratio"])
-                fx = fx + jnp.where(hast, -tvx / jnp.maximum(tmag, 1e-30) * vcap,
-                                    0.0)
-                fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap,
-                                    0.0)
-                buoy = -cn["buoyancy_strength"] * pen * area * cn["gravity"] \
-                    * dens
-                bfy = jnp.where(rmass > 0.1, buoy, 0.0)
-                keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= maxF
-                fy = jnp.where(keep, fy + bfy, fy)
-                fmag = jnp.sqrt(fx * fx + fy * fy)
-                fscale = jnp.where(fmag > maxF,
-                                   maxF / jnp.maximum(fmag, 1e-30), 1.0)
-                fx = fx * fscale
-                fy = fy * fscale
-                tq = jnp.clip(rx * fy - ry * fx, -cn["max_torque"],
-                              cn["max_torque"])
-                spin = jnp.abs(rom) > cn["angular_damping_threshold"]
-                tq = tq - jnp.where(
-                    spin, cn["angular_damping_factor"] * jnp.sign(rom)
-                    * jnp.abs(rom) * rinert, 0.0)
-                fx = jnp.where(act, fx, 0.0)
-                fy = jnp.where(act, fy, 0.0)
-                tq = jnp.where(act, tq, 0.0)
-                orf[0, t, 4 * r + 0] = fx.sum()
-                orf[0, t, 4 * r + 1] = fy.sum()
-                orf[0, t, 4 * r + 2] = tq.sum()
-                orf[0, t, 4 * r + 3] = rd.astype(orf.dtype)
-                cacc[2] = cacc[2] + fx
-                cacc[3] = cacc[3] + fy
-                cacc[5] = jnp.maximum(cacc[5], act.astype(px.dtype))
+            # ---- impulse exchange (metal:679-924) ----
+            mpen = cn["min_penetration"]
+            rb_v2 = rvxs * rvxs + rvys * rvys + rom * rom
+            ok_r = rb_v2 <= cn["max_safe_velocity_sq"]
+            pen = jnp.where(is_c,
+                            jnp.maximum(rrad - jnp.maximum(dist_c, mpen),
+                                        0.0),
+                            jnp.maximum(dist_p, mpen))
+            nrm_x = jnp.where(is_c, rx / jnp.maximum(dist_c, mpen),
+                              pdx / jnp.maximum(dist_p, mpen))
+            nrm_y = jnp.where(is_c, ry / jnp.maximum(dist_c, mpen),
+                              pdy / jnp.maximum(dist_p, mpen))
+            act = inside & ok_r & (pen >= mpen)
+            dens = jnp.where(rho > 0.0, rho, cn["rest_density"])
+            rig_vx = rvxs - rom * ry
+            rig_vy = rvys + rom * rx
+            rvx = vx1 - rig_vx
+            rvy = vy1 - rig_vy
+            depth_f = jnp.tanh(cn["depth_transition_rate"] * pen
+                               / cn["depth_scale"])
+            vn = rvx * nrm_x + rvy * nrm_y
+            tvx = rvx - nrm_x * vn
+            tvy = rvy - nrm_y * vn
+            vol = jnp.where(rho > 0, m / jnp.maximum(rho, 1e-30),
+                            m / cn["rest_density"])
+            area = jnp.abs(vol) ** (2.0 / 3.0)
+            depth = jnp.minimum(py / cn["depth_estimate_scale"], 1.0)
+            hydro = dens * cn["gravity"] * depth
+            total_p = p + hydro
+            pforce = total_p * area * depth_f
+            maxF = cn["max_force"]
+            fx = nrm_x * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
+            fy = nrm_y * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
+            tmag = jnp.sqrt(tvx * tvx + tvy * tvy)
+            hast = tmag > cn["min_rel_velocity"]
+            vforce = cn["viscosity"] * cn["viscosity_scale"] * tmag * dens \
+                * depth_f * cn["sub_dt"]
+            vcap = jnp.minimum(vforce, maxF * cn["viscous_force_ratio"])
+            fx = fx + jnp.where(hast, -tvx / jnp.maximum(tmag, 1e-30) * vcap,
+                                0.0)
+            fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap,
+                                0.0)
+            buoy = -cn["buoyancy_strength"] * pen * area * cn["gravity"] \
+                * dens
+            bfy = jnp.where(rmass > 0.1, buoy, 0.0)
+            keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= maxF
+            fy = jnp.where(keep, fy + bfy, fy)
+            fmag = jnp.sqrt(fx * fx + fy * fy)
+            fscale = jnp.where(fmag > maxF,
+                               maxF / jnp.maximum(fmag, 1e-30), 1.0)
+            fx = fx * fscale
+            fy = fy * fscale
+            tq = jnp.clip(rx * fy - ry * fx, -cn["max_torque"],
+                          cn["max_torque"])
+            spin = jnp.abs(rom) > cn["angular_damping_threshold"]
+            tq = tq - jnp.where(
+                spin, cn["angular_damping_factor"] * jnp.sign(rom)
+                * jnp.abs(rom) * rinert, 0.0)
+            fx = jnp.where(act, fx, 0.0)
+            fy = jnp.where(act, fy, 0.0)
+            tq = jnp.where(act, tq, 0.0)
+            orf[0, t, 4 * r + 0] = fx.sum()
+            orf[0, t, 4 * r + 1] = fy.sum()
+            orf[0, t, 4 * r + 2] = tq.sum()
+            orf[0, t, 4 * r + 3] = rd.astype(orf.dtype)
+            cacc[2] = cacc[2] + fx
+            cacc[3] = cacc[3] + fy
+            cacc[5] = jnp.maximum(cacc[5], act.astype(px.dtype))
 
-        # ---- post-loop finalization ----
-        acx, acy = cacc[0], cacc[1]
-        sfx, sfy = cacc[2], cacc[3]
-        had_pos = cacc[4] > 0
-        had_imp = cacc[5] > 0
-        # fluid back-reaction (Newton's 3rd law)
-        ffx = -sfx * cn["fluid_force_scale"]
-        ffy = -sfy * cn["fluid_force_scale"]
-        fm = jnp.sqrt(ffx * ffx + ffy * ffy)
-        fsc = jnp.where(fm > cn["fluid_force_max"],
-                        cn["fluid_force_max"] / jnp.maximum(fm, 1e-30), 1.0)
-        inv_m = jnp.where(m > 1e-4, 1.0 / m, 1.0)
-        axo = jnp.where(had_imp, ax + ffx * fsc * inv_m, ax)
-        ayo = jnp.where(had_imp, ay + ffy * fsc * inv_m, ay)
-        # position push-out + velocity fix-up
-        mag = jnp.sqrt(acx * acx + acy * acy)
-        scale = jnp.where(mag > cn["max_correction"],
-                          cn["max_correction"] / jnp.maximum(mag, 1e-30),
-                          1.0)
-        nx_ = px - acx * scale
-        ny_ = py - acy * scale
-        off = cn["boundary_offset"]
-        nx_ = jnp.where(nx_ < 0.0, off, nx_)
-        ny_ = jnp.where(ny_ < 0.0, off, ny_)
-        ddx = nx_ - px
-        ddy = ny_ - py
-        dmag = jnp.sqrt(ddx * ddx + ddy * ddy)
-        moved = had_pos & (dmag > cn["min_position_change"])
-        cdx = ddx / jnp.maximum(dmag, 1e-30)
-        cdy = ddy / jnp.maximum(dmag, 1e-30)
-        valong = vx1 * cdx + vy1 * cdy
-        fix = moved & (valong < 0.0)
-        return (nx_, ny_,
-                jnp.where(fix, vx1 - valong * cdx, vx1),
-                jnp.where(fix, vy1 - valong * cdy, vy1),
-                axo, ayo)
+    # ---- post-loop finalization ----
+    acx, acy = cacc[0], cacc[1]
+    sfx, sfy = cacc[2], cacc[3]
+    had_pos = cacc[4] > 0
+    had_imp = cacc[5] > 0
+    # fluid back-reaction (Newton's 3rd law)
+    ffx = -sfx * cn["fluid_force_scale"]
+    ffy = -sfy * cn["fluid_force_scale"]
+    fm = jnp.sqrt(ffx * ffx + ffy * ffy)
+    fsc = jnp.where(fm > cn["fluid_force_max"],
+                    cn["fluid_force_max"] / jnp.maximum(fm, 1e-30), 1.0)
+    inv_m = jnp.where(m > 1e-4, 1.0 / m, 1.0)
+    axo = jnp.where(had_imp, ax + ffx * fsc * inv_m, ax)
+    ayo = jnp.where(had_imp, ay + ffy * fsc * inv_m, ay)
+    # position push-out + velocity fix-up
+    mag = jnp.sqrt(acx * acx + acy * acy)
+    scale = jnp.where(mag > cn["max_correction"],
+                      cn["max_correction"] / jnp.maximum(mag, 1e-30),
+                      1.0)
+    nx_ = px - acx * scale
+    ny_ = py - acy * scale
+    off = cn["boundary_offset"]
+    nx_ = jnp.where(nx_ < 0.0, off, nx_)
+    ny_ = jnp.where(ny_ < 0.0, off, ny_)
+    ddx = nx_ - px
+    ddy = ny_ - py
+    dmag = jnp.sqrt(ddx * ddx + ddy * ddy)
+    moved = had_pos & (dmag > cn["min_position_change"])
+    cdx = ddx / jnp.maximum(dmag, 1e-30)
+    cdy = ddy / jnp.maximum(dmag, 1e-30)
+    valong = vx1 * cdx + vy1 * cdy
+    fix = moved & (valong < 0.0)
+    return (nx_, ny_,
+            jnp.where(fix, vx1 - valong * cdx, vx1),
+            jnp.where(fix, vy1 - valong * cdy, vy1),
+            axo, ayo)
 
 
 def make_coupling(ny: int, NT: int, K: int, NR: int, V: int, consts: dict,
@@ -1055,10 +1054,19 @@ def _migrate_ring_kernel(half_dt, sub_dt, lim, cell, eps, gmin, nx, ny,
             slabs[s, _ST_Y] = y1
             slabs[s, _ST_AX] = hx
             slabs[s, _ST_AY] = hy
-            tgx = jnp.clip(jnp.floor((x1 + eps) / cell).astype(jnp.int32)
-                           - gmin, 0, nx - 1) + 1
-            tgy = jnp.clip(jnp.floor((y1 + eps) / cell).astype(jnp.int32)
-                           - gmin, 0, ny - 1) + 1
+            # Interior clip, then clamp to +-1 of the slot's STORED cell
+            # (interior row r-1, interior col ccol-1) — the XLA _migrate's
+            # walking semantics (sph.py _migrate): a particle that moved
+            # >1 cell (coupling push-out, floor teleport) keeps its exact
+            # position and walks one cell per migration instead of falling
+            # out of the 3x3 candidate window and being silently dropped.
+            ccol = jax.lax.broadcasted_iota(jnp.int32, (K, NTX), 1)
+            tgx = jnp.clip(jnp.clip(
+                jnp.floor((x1 + eps) / cell).astype(jnp.int32) - gmin,
+                0, nx - 1), ccol - 2, ccol) + 1
+            tgy = jnp.clip(jnp.clip(
+                jnp.floor((y1 + eps) / cell).astype(jnp.int32) - gmin,
+                0, ny - 1), r - 2, r) + 1
             encs[s] = jnp.where(occ > 0, tgy * _ENC + tgx, -1)
 
         @pl.when(row_occ(r) == 0)
@@ -1276,10 +1284,15 @@ def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
         slabs[s, _FP_Y] = y1
         slabs[s, _FP_HX] = hx
         slabs[s, _FP_HY] = hy
-        tgx = jnp.clip(jnp.floor((x1 + eps) / cell).astype(jnp.int32) - gmin,
-                       0, nx - 1) + 1
-        tgy = jnp.clip(jnp.floor((y1 + eps) / cell).astype(jnp.int32) - gmin,
-                       0, ny - 1) + 1
+        # interior clip then +-1-of-stored-cell clamp (XLA _migrate walking
+        # semantics — see _migrate_ring_kernel.drift for the rationale)
+        ccol = jax.lax.broadcasted_iota(jnp.int32, (K, NTX), 1)
+        tgx = jnp.clip(jnp.clip(
+            jnp.floor((x1 + eps) / cell).astype(jnp.int32) - gmin,
+            0, nx - 1), ccol - 2, ccol) + 1
+        tgy = jnp.clip(jnp.clip(
+            jnp.floor((y1 + eps) / cell).astype(jnp.int32) - gmin,
+            0, ny - 1), r - 2, r) + 1
         encs[s] = jnp.where(occ > 0, tgy * _ENC + tgx, -1)
 
     def ext_win(vals, t):

@@ -358,6 +358,87 @@ def test_coupling_fires_at_mid_row_wall_face():
     assert np.allclose(px, ps, atol=1e-5)
 
 
+def test_migrate_ring_walks_multi_cell_moves():
+    """Direct interpret-mode test of ops/pallas_sph.make_migrate_ring in the
+    >1-cell-move regime (a coupling push-out / boundary clamp can displace a
+    particle several cells between migrations). The kernel must mirror the
+    XLA _migrate's walking semantics (sph.py _migrate docstring): the target
+    cell is clamped to +-1 of the slot's STORED cell, so a far-displaced
+    particle keeps its exact position and walks one cell per migration —
+    NEVER falling out of the 3x3 candidate window and being dropped.
+    Regression for the unclamped-target bug (ADVICE r2, high)."""
+    import jax.numpy as jnp
+    from lpe_tpu.ops.pallas_sph import make_migrate_ring, TILE_X
+
+    ny = nx = 4
+    K, NT = 8, 1
+    NTX = NT * TILE_X
+    cell, eps, gmin = 1.0, 0.0, 0
+    mig = make_migrate_ring(ny, nx, NT, K, half_dt=0.0, sub_dt=1.0,
+                            lim=0.45, cell=cell, eps=eps, gmin=gmin,
+                            interpret=True)
+
+    # (id, stored interior (row, col), position -> true interior cell)
+    parts = [
+        (1.0, (0, 0), (3.5, 3.5)),   # 3 cells away on both axes
+        (2.0, (2, 2), (2.5, 2.5)),   # already home
+        (3.0, (1, 3), (0.5, 1.5)),   # 3 columns left (pos is (x, y))
+        (4.0, (3, 1), (1.5, 0.5)),   # 3 rows up
+        (5.0, (1, 1), (2.5, 2.5)),   # 1-cell diagonal (normal regime)
+        (6.0, (1, 1), (2.5, 2.5)),   # same target: rank compaction
+        (7.0, (1, 1), (1.5, 1.5)),   # stays
+    ]
+    ST = np.zeros((ny + 2, 9, K, NTX), np.float32)
+    slot_next = {}
+    for pid, (r, c), (x, y) in parts:
+        s = slot_next.get((r, c), 0)
+        slot_next[(r, c)] = s + 1
+        ST[r + 1, 0, s, c + 1] = x
+        ST[r + 1, 1, s, c + 1] = y
+        ST[r + 1, 6, s, c + 1] = 0.005       # m
+        ST[r + 1, 7, s, c + 1] = pid         # id
+        ST[r + 1, 8, s, c + 1] = 1.0         # occ
+
+    def tile_bounds(occ):
+        return occ.sum(axis=1).reshape(occ.shape[0], NT, TILE_X) \
+                  .max(-1).astype(jnp.int32)
+
+    def id_cells(M9):
+        """{id: (interior_row, interior_col)} of every live M9 slot."""
+        occ = np.asarray(M9[:, 5])
+        ids = np.asarray(M9[:, 8])
+        out = {}
+        for r, k, c in zip(*np.nonzero(occ > 0)):
+            out[round(float(ids[r, k, c]))] = (r - 1, c - 1)
+        return out
+
+    st = jnp.asarray(ST)
+    n0 = int(ST[:, 8].sum())
+    seen = []
+    for step in range(4):
+        M9 = mig(tile_bounds(st[:, 8]), st)
+        # conservation: nothing dropped, ids intact, positions untouched
+        assert int(np.asarray(M9[:, 5]).sum()) == n0
+        cells = id_cells(M9)
+        assert sorted(cells) == [1, 2, 3, 4, 5, 6, 7]
+        seen.append(cells)
+        z = jnp.zeros_like(M9[:, 0])
+        st = jnp.stack([M9[:, 0], M9[:, 1], M9[:, 2], M9[:, 3], z, z,
+                        M9[:, 4], M9[:, 8], M9[:, 5]], axis=1)
+
+    # one cell per migration along each axis, exactly the XLA walk
+    assert seen[0][1] == (1, 1) and seen[1][1] == (2, 2) \
+        and seen[2][1] == (3, 3) and seen[3][1] == (3, 3)
+    assert seen[0][3] == (1, 2) and seen[1][3] == (1, 1) \
+        and seen[2][3] == (1, 0) and seen[3][3] == (1, 0)
+    assert seen[0][4] == (2, 1) and seen[1][4] == (1, 1) \
+        and seen[2][4] == (0, 1) and seen[3][4] == (0, 1)
+    # normal 1-cell movers arrive immediately and stay
+    for stp in seen:
+        assert stp[2] == (2, 2) and stp[7] == (1, 1)
+    assert seen[0][5] == (2, 2) and seen[0][6] == (2, 2)
+
+
 def test_grid_neighbor_count_cap_is_deterministic():
     # 200 particles in one cell: run twice, identical results (the reference's
     # atomic 64-cap is racy; ours must be deterministic)
