@@ -12,9 +12,9 @@ Prints ONE JSON line per config, the HEADLINE (SPH dam break) LAST:
 - vs_baseline: speedup over the native engine on the identical workload,
   measured in-process on this host's CPU.
 
-Env knobs: BENCH_CONFIGS (comma list: rigid,galaxy,coupled,highlight,dam;
-default all), BENCH_N (dam particles), BENCH_TICKS, BENCH_ORACLE_TICKS,
-BENCH_BLOCK (ticks per device dispatch).
+Env knobs: BENCH_CONFIGS (comma list: rigid,galaxy,coupled,highlight,
+north,dam; default all), BENCH_N (dam particles), BENCH_TICKS,
+BENCH_ORACLE_TICKS, BENCH_BLOCK (ticks per device dispatch).
 """
 from __future__ import annotations
 
@@ -28,8 +28,8 @@ N_PARTICLES = int(os.environ.get("BENCH_N", "100000"))
 TICKS = int(os.environ.get("BENCH_TICKS", "60"))
 ORACLE_TICKS = int(os.environ.get("BENCH_ORACLE_TICKS", "3"))
 BLOCK = max(1, int(os.environ.get("BENCH_BLOCK", "10")))
-CONFIGS = os.environ.get("BENCH_CONFIGS",
-                         "rigid,galaxy,coupled,highlight,dam").split(",")
+CONFIGS = os.environ.get(
+    "BENCH_CONFIGS", "rigid,galaxy,coupled,highlight,north,dam").split(",")
 
 
 def _accelerator_reachable(timeout_s: float = 180.0) -> bool:
@@ -189,6 +189,18 @@ def bench_coupled(n_fluid, n_rigid, oracle_ticks, fallback):
           {"n_fluid": n_fluid, "n_rigid": n_rigid}, fallback)
 
 
+def bench_north_star(n_fluid, n_rigid, oracle_ticks, fallback):
+    """THE BASELINE.md north-star workload: 100k SPH + 10k rigid in one
+    scene (the 100x/v5e-8 target is defined on this config)."""
+    from lpe_tpu.scenarios.bench_scenes import build_north_star
+    sc = build_north_star(n_fluid, n_rigid, seed=0)
+    dev_tps, _ = _time_device(sc, max(10, TICKS // 2), BLOCK)
+    cpu_tps = _coupled_baseline(sc, oracle_ticks)
+    _emit(f"north_star_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
+          cpu_tps, "native_cpp_coupled",
+          {"n_fluid": n_fluid, "n_rigid": n_rigid}, fallback)
+
+
 def bench_highlight(n_fluid, n_rigid, n_gas, oracle_ticks, fallback):
     from lpe_tpu.scenarios.bench_scenes import build_highlight_reel
     sc = build_highlight_reel(n_fluid, n_rigid, n_gas, seed=0)
@@ -240,14 +252,15 @@ def main():
     fallback = None
     sizes = dict(dam=N_PARTICLES, rigid=10000, galaxy=1000000,
                  coupled_f=100000, coupled_r=300, hl_f=20000, hl_r=60,
-                 hl_g=200)
+                 hl_g=200, ns_f=100000, ns_r=10000)
     oticks = dict(dam=ORACLE_TICKS, rigid=max(2, ORACLE_TICKS),
-                  galaxy=1, coupled=1, highlight=2)
+                  galaxy=1, coupled=1, highlight=2, north=1)
     if not _accelerator_reachable():
         # degraded mode: finish with a CPU measurement rather than hang
         fallback = "accelerator unreachable; CPU backend, reduced workload"
         sizes = dict(dam=5000, rigid=500, galaxy=5000, coupled_f=3000,
-                     coupled_r=20, hl_f=3000, hl_r=12, hl_g=50)
+                     coupled_r=20, hl_f=3000, hl_r=12, hl_g=50,
+                     ns_f=3000, ns_r=300)
         TICKS = min(TICKS, 10)
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -264,10 +277,12 @@ def main():
         "highlight": lambda: bench_highlight(sizes["hl_f"], sizes["hl_r"],
                                              sizes["hl_g"],
                                              oticks["highlight"], fallback),
+        "north": lambda: bench_north_star(sizes["ns_f"], sizes["ns_r"],
+                                          oticks["north"], fallback),
         "dam": lambda: bench_dam(sizes["dam"], oticks["dam"], fallback),
     }
     # headline (dam) must be LAST: the driver records the tail line
-    order = [c for c in ("rigid", "galaxy", "coupled", "highlight")
+    order = [c for c in ("rigid", "galaxy", "coupled", "highlight", "north")
              if c in CONFIGS] + (["dam"] if "dam" in CONFIGS else [])
     for c in order:
         try:

@@ -102,6 +102,80 @@ def build_rigid_stacks(n_bodies: int = 1000, seed: int = 0,
     return b.finalize(cfg, dtype=dtype or jnp.float32)
 
 
+def build_north_star(n_fluid: int = 100000, n_rigid: int = 10000,
+                     seed: int = 0, dtype=None) -> Scene:
+    """THE BASELINE.md north-star workload in one scene: the dam-break
+    column (100k SPH) collapsing into a field of 10k small rigid convex
+    polygons stacked in the spill path (BASELINE.md: ">=100x CPU-reference
+    steps/sec on TPU v5e-8 at 100k SPH + 10k rigid"). Rigids use the
+    stacking-stress sizes (0.05-0.12 m) and solver config so the rigid half
+    is the same regime as RIGID_STACKS; the fluid half is the same regime
+    as DAM_BREAK. Rigid sizes are scaled down from the stacking stress's
+    0.05-0.12 m so 10k bodies physically FIT beside the 100k column (the
+    tank is sized by the fluid regime; at stack sizes the rigid field
+    would need ~3x the whole tank's area); masses scale with body area so
+    the fluid can actually plough them."""
+    import jax.numpy as jnp
+    from ..core.config import ContactSolverConfig
+    from ..math.polygon import build_random_convex_polygon
+    base = build_dam_break(n_fluid, seed=seed, dtype=dtype)
+    scale = math.sqrt(n_fluid / 20000.0)
+    size = base.cfg.shared.universe_size_m
+    rng = np.random.default_rng(seed + 3)
+    b = SceneBuilder(f"NORTH_STAR_{n_fluid}_{n_rigid}")
+    add_tank_walls(b, size, 0.05 * scale, 1e30, 0.0, 0.0)
+    # rigid field: dense jittered grid in the right 55% of the tank — the
+    # dam spill ploughs into it (two-way coupling at full contact density)
+    x_lo, x_hi = size * 0.42, size * 0.97
+    y_lo, y_hi = size * 0.03, size * 0.9
+    n_cols = int(math.sqrt(n_rigid * (x_hi - x_lo) / (y_hi - y_lo)))
+    sx = (x_hi - x_lo) / n_cols
+    sz_lo, sz_hi = 0.015, min(0.035, 0.45 * sx)
+    count = 0
+    row = 0
+    while count < n_rigid:
+        for col in range(n_cols):
+            if count >= n_rigid:
+                break
+            sz = rng.uniform(sz_lo, sz_hi)
+            verts = build_random_convex_polygon(rng, sz)
+            mass = max(0.02, rng.normal(1.0, 0.1) * (sz / 0.085) ** 2)
+            b.add(pos=(x_lo + (col + 0.5) * sx
+                       + rng.uniform(-0.2, 0.2) * sx,
+                       y_lo + (row + 0.5) * sx
+                       + rng.uniform(-0.2, 0.2) * sx),
+                  mass=mass, phase=int(Phase.SOLID), has_sleep=True,
+                  shape_kind=int(ShapeKind.POLYGON), radius=sz, verts=verts,
+                  inertia=calculate_polygon_inertia(verts, mass),
+                  color=tuple(int(v) for v in rng.integers(50, 201, 3)))
+            count += 1
+        row += 1
+    cfg = base.cfg.replace(rigid=RigidBodyConfig(
+        broadphase=BroadphaseConfig(max_pairs=max(1024, 4 * n_rigid),
+                                    persist_slack_m=0.04),
+        solver=ContactSolverConfig(stages=4)))
+    # fluid column (same layout as the dam break)
+    x_min, x_max = 0.16 * scale, size * 0.35
+    y_min, y_max = size * 0.2, size - 0.16 * scale
+    area = (x_max - x_min) * (y_max - y_min)
+    spacing = math.sqrt(area / n_fluid)
+    mass_f = 0.005 * (spacing / 0.0742) ** 2
+    n_fcols = int((x_max - x_min) / spacing)
+    count = 0
+    for frow in range((n_fluid + n_fcols - 1) // n_fcols):
+        for col in range(n_fcols):
+            if count >= n_fluid:
+                break
+            b.add(pos=(x_min + (col + 0.5) * spacing,
+                       y_max - (frow + 0.5) * spacing),
+                  mass=mass_f, phase=int(Phase.LIQUID),
+                  shape_kind=int(ShapeKind.CIRCLE), radius=0.02,
+                  static_friction=0.0, dynamic_friction=0.0,
+                  color=(20, 20 + count % 50, 200 + count % 55))
+            count += 1
+    return b.finalize(cfg, dtype=dtype or jnp.float32)
+
+
 def build_highlight_reel(n_fluid: int = 20000, n_rigid: int = 60,
                          n_gas: int = 200, seed: int = 0,
                          dtype=None) -> Scene:

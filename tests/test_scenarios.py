@@ -104,12 +104,13 @@ def test_galton_board_content():
 
 
 def test_bench_scenes_build_and_tick():
-    """The 5 benchmark configs from BASELINE.md all build and tick finite."""
+    """The benchmark configs from BASELINE.md all build and tick finite."""
     import jax
     from lpe_tpu.scenarios.bench_scenes import (build_coupled_dam,
                                                 build_dam_break,
                                                 build_galaxy,
                                                 build_highlight_reel,
+                                                build_north_star,
                                                 build_rigid_stacks)
     from lpe_tpu.systems import build_tick_fn
     from _util import light_cfg
@@ -117,7 +118,8 @@ def test_bench_scenes_build_and_tick():
                build_rigid_stacks(60, seed=0),
                build_galaxy(500, seed=0),
                build_coupled_dam(300, 5, seed=0),
-               build_highlight_reel(300, 6, 10, seed=0)):
+               build_highlight_reel(300, 6, 10, seed=0),
+               build_north_star(300, 30, seed=0)):
         tick = build_tick_fn(sc.spec, light_cfg(sc.cfg, 16), donate=False)
         s = tick(tick(sc.state))
         act = np.asarray(s.bodies.active)
