@@ -212,6 +212,19 @@ class RigidBodyConfig:
     # 0 = auto (2*max_pairs: a 2D convex pair has at most 2 meaningful
     # manifold points, so the auto cap only ever drops clipping artifacts).
     max_active_contacts: int = 0
+    # Grid-resident rigid pipeline (systems/rigid/grid_pipeline.py): bodies
+    # live in a dense [cell, slot] grid, candidates/narrowphase/solvers run
+    # on per-cell row tensors with roll + one-hot-slot neighbor access — no
+    # indexed gathers in the iteration loops. "auto" = on exactly when the
+    # grid broadphase would be (n_solid > broadphase.dense_max_solids).
+    # Narrowphase there is closed-form SAT (geometry.sat_contact), equal to
+    # converged GJK->EPA on convex shapes (tests/test_geometry_sat.py).
+    grid_pipeline: str = "auto"      # "auto" | "on" | "off"
+    grid_slots_per_cell: int = 0     # body slots per cell; 0 = auto
+    grid_rows_same: int = 0          # same-cell pair rows per cell; 0 = auto
+    grid_rows_axis: int = 0          # E/S neighbor rows per cell; 0 = auto
+    grid_rows_diag: int = 0          # SW/SE neighbor rows per cell; 0 = auto
+    grid_rows_big: int = 0           # vs-big (wall) rows per cell; 0 = auto
     # Persistent cross-tick warm starting. The reference built the machinery
     # (ContactManager impulse caching, contact_manager.cpp:164-279) but
     # recreates the manager every tick so it never takes effect

@@ -74,6 +74,9 @@ class SceneSpec:
     # paired densely instead of through the grid
     solid_cell_size: float = 0.0
     solid_big_idx: tuple = ()
+    # every "big" solid is an infinite-mass boundary wall: lets the grid
+    # rigid pipeline treat them as frozen contact partners
+    solid_big_all_boundary: bool = True
     # static max polygon vertex count over the non-liquid entities: the
     # fluid-coupling kernels size their vertex loops to this instead of
     # MAX_POLY_VERTS (walls are 4-gons; a 16-wide vert axis would 4x the
@@ -212,6 +215,7 @@ class SceneBuilder:
         # densely, the rest through a uniform grid of cells sized to cover
         # the largest non-big AABB (see systems/rigid/pipeline.py)
         cell_size, big_idx = 0.0, ()
+        big_all_bnd = True
         if ns:
             rb = np.where(
                 shape_kind[:ns] == int(ShapeKind.CIRCLE), radius[:ns],
@@ -224,12 +228,16 @@ class SceneBuilder:
             max_nb = float(rb[nonbig].max()) if nonbig.size else float(med)
             cell_size = max(2.0 * max_nb, 1e-9)
             big_idx = tuple(int(i) for i in big)
+            big_all_bnd = bool(
+                (boundary[big] & (mass[big] > 1e29)).all()) if big.size \
+                else True
         spec = SceneSpec(
             capacity=cap, n_entities=n, n_solid=ns, n_gas=ng, n_liquid=nl,
             solid_start=0, gas_start=ns, liquid_start=ns + ng,
             max_nonboundary_mass=float(nb_mass.max()) if nb_mass.size else 0.0,
             max_mass_overall=float(mass[:n].max()) if n else 0.0,
             solid_cell_size=cell_size, solid_big_idx=big_idx,
+            solid_big_all_boundary=big_all_bnd,
             max_rigid_verts=max(3, int(nverts[:ns + ng].max(initial=0))),
             max_solid_verts=max(
                 3, int(nverts[:ns].max(initial=0)),
@@ -258,9 +266,14 @@ class SceneBuilder:
             pressure=jnp.zeros((cap,), dtype), vhalf=jnp.zeros((cap, 2), dtype),
         )
         mp = max(1, cfg.rigid.broadphase.max_pairs)
+        from .systems.rigid.grid_pipeline import grid_dims
+        gd = grid_dims(spec, cfg)
+        gkw = {} if gd is None else dict(
+            grid_cells=gd["NC"], grid_slots=gd["KB"], grid_rows=gd["R"],
+            grid_verts=spec.max_solid_verts, n_solid=ns)
         state = make_state(bodies, max_pairs=mp,
                            max_contacts=cfg.rigid.max_contacts_per_pair,
-                           dtype=dtype)
+                           dtype=dtype, **gkw)
         return Scene(state=state, spec=spec, cfg=cfg)
 
 

@@ -112,6 +112,24 @@ class SimState:
     bp_ib: jax.Array               # [max_pairs] int32
     bp_anchor_pos: jax.Array       # [n, 2] float
     bp_anchor_ang: jax.Array       # [n] float
+    # Grid-resident rigid pipeline caches (systems/rigid/grid_pipeline.py;
+    # big scenes only — placeholder [1]-sized arrays otherwise). Rebuilt when
+    # the displacement guard trips; +inf bp anchors force the first rebuild.
+    rg_flat: jax.Array             # [n_solid] int32 cell*KB+slot (-1 off)
+    rg_table: jax.Array            # [NC*KB] int32 body index (S = empty)
+    rg_ka: jax.Array               # [NC, R] int32 lo slot per candidate row
+    rg_kb: jax.Array               # [NC, R] int32 partner slot / big ordinal
+    rg_valid: jax.Array            # [NC, R] bool candidate exists
+    rg_verts: jax.Array            # [NC*KB, VS, 2] float (static per rebuild)
+    rg_nverts: jax.Array           # [NC*KB] int32
+    rg_radius: jax.Array           # [NC*KB] float
+    rg_iscirc: jax.Array           # [NC*KB] bool
+    rg_invm: jax.Array             # [NC*KB] float
+    rg_invi: jax.Array             # [NC*KB] float
+    rg_warm_n: jax.Array           # [NC, R, C] float (slot-persistent cache)
+    rg_warm_t: jax.Array           # [NC, R, C] float
+    rg_warm_pt: jax.Array          # [NC, R, C, 2] float
+    rg_warm_nrm: jax.Array         # [NC, R, 2] float
 
 
 def zero_bodies(n: int, dtype=jnp.float32) -> Bodies:
@@ -136,7 +154,16 @@ def zero_bodies(n: int, dtype=jnp.float32) -> Bodies:
 
 
 def make_state(bodies: Bodies, max_pairs: int = 1, max_contacts: int = 8,
-               dtype=jnp.float32) -> SimState:
+               dtype=jnp.float32, grid_cells: int = 0, grid_slots: int = 0,
+               grid_rows: int = 0, grid_verts: int = 0,
+               n_solid: int = 0) -> SimState:
+    # grid-rigid cache sizing: placeholder [1]-shapes when the grid
+    # pipeline is off (grid_cells == 0)
+    NC = max(1, grid_cells)
+    KB = max(1, grid_slots)
+    R = max(1, grid_rows)
+    VS = max(1, grid_verts)
+    NS = max(1, n_solid if grid_cells else 1)
     return SimState(
         bodies=bodies,
         time_scale=jnp.asarray(1.0, dtype),
@@ -152,6 +179,21 @@ def make_state(bodies: Bodies, max_pairs: int = 1, max_contacts: int = 8,
         bp_ib=jnp.full((max_pairs,), -1, jnp.int32),
         bp_anchor_pos=jnp.full_like(bodies.pos, jnp.inf),
         bp_anchor_ang=jnp.full_like(bodies.angle, jnp.inf),
+        rg_flat=jnp.full((NS,), -1, jnp.int32),
+        rg_table=jnp.full((NC * KB,), n_solid, jnp.int32),
+        rg_ka=jnp.zeros((NC, R), jnp.int32),
+        rg_kb=jnp.zeros((NC, R), jnp.int32),
+        rg_valid=jnp.zeros((NC, R), bool),
+        rg_verts=jnp.zeros((NC * KB, VS, 2), dtype),
+        rg_nverts=jnp.zeros((NC * KB,), jnp.int32),
+        rg_radius=jnp.zeros((NC * KB,), dtype),
+        rg_iscirc=jnp.zeros((NC * KB,), bool),
+        rg_invm=jnp.zeros((NC * KB,), dtype),
+        rg_invi=jnp.zeros((NC * KB,), dtype),
+        rg_warm_n=jnp.zeros((NC, R, max_contacts), dtype),
+        rg_warm_t=jnp.zeros((NC, R, max_contacts), dtype),
+        rg_warm_pt=jnp.full((NC, R, max_contacts, 2), 1e30, dtype),
+        rg_warm_nrm=jnp.zeros((NC, R, 2), dtype),
     )
 
 

@@ -19,6 +19,7 @@ solver. Here every stage is fixed-shape and fused into the jitted tick:
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -249,6 +250,8 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             ib = flat % S
         return ia, ib, pvalid
 
+    _ablate = os.environ.get("LPE_RIGID_ABLATE", "")  # perf triage only
+
     def step(state: SimState) -> SimState:
         b = state.bodies
         sh = _solid_shapes(b, S, spec.max_solid_verts)
@@ -283,6 +286,11 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
             ib = jnp.maximum(ib_c8, 0)
         else:
             ia, ib, pvalid = _broadphase(b, sh)
+
+        if _ablate == "broadphase":   # triage: stop after broadphase
+            dep = (ia.sum() + ib.sum() + pvalid.sum()).astype(b.pos.dtype)
+            return state.replace(bodies=b.replace(
+                pos=b.pos.at[0, 0].add(1e-30 * dep)))
 
         # --- narrowphase --------------------------------------------------
         sa = _gather_shape(sh, ia)
@@ -338,6 +346,12 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         n_c = n_r[rid_s]
         pt_c = pt_r[rid_s]
         pen_c = pen_r[rid_s]
+
+        if _ablate == "narrow":       # triage: stop after narrow+compaction
+            dep = ((ia_c + ib_c).sum().astype(b.pos.dtype)
+                   + n_c.sum() + pt_c.sum() + pen_c.sum())
+            return state.replace(bodies=b.replace(
+                pos=b.pos.at[0, 0].add(1e-30 * dep)))
 
         # --- solvers -------------------------------------------------------
         mass = b.mass[:S]
@@ -401,12 +415,19 @@ def make_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
         else:
             ln0 = jnp.zeros_like(pen_c)
             lt0 = jnp.zeros_like(pen_c)
-        vel, omega, ln_c, lt_c = solve_velocity(
-            b.pos[:S], b.vel[:S], b.omega[:S], inv_m, inv_i,
-            ia_c, ib_c, n_c, pt_c, avalid, ln0, lt0, rc.solver)
-        pos, angle = solve_position(
-            b.pos[:S], b.angle[:S], inv_m, inv_i,
-            ia_c, ib_c, n_c, pt_c, pen_c, avalid, rc.position)
+        if _ablate == "novel":        # triage: skip the velocity solve
+            vel, omega = b.vel[:S], b.omega[:S]
+            ln_c, lt_c = ln0, lt0
+        else:
+            vel, omega, ln_c, lt_c = solve_velocity(
+                b.pos[:S], b.vel[:S], b.omega[:S], inv_m, inv_i,
+                ia_c, ib_c, n_c, pt_c, avalid, ln0, lt0, rc.solver)
+        if _ablate == "nopos":        # triage: skip the position solve
+            pos, angle = b.pos[:S], b.angle[:S]
+        else:
+            pos, angle = solve_position(
+                b.pos[:S], b.angle[:S], inv_m, inv_i,
+                ia_c, ib_c, n_c, pt_c, pen_c, avalid, rc.position)
         # scatter compacted impulses back to capacity rows (warm cache)
         if rc.warm_start:
             ridx = jnp.where(avalid, rid, ROWS)
