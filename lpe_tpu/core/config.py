@@ -327,14 +327,20 @@ class FluidConfig:
     # TPU (density+force in one pass, each grid row DMA'd once per
     # sub-step, rho kept on-chip — ops/pallas_sph.make_pair_sweep), plain
     # XLA elsewhere. "sweep" / "pallas" (split density/force row-band
-    # kernels) / "xla" force a backend; "fused" opts into the experimental
-    # whole-substep kernel (drift+migrate+density+force+kick in one pass —
-    # make_fused_substep, resident mode only; measured slower than sweep +
-    # the XLA migrate on v5e, kept for future Mosaic work). Results agree
-    # up to float reassociation of neighbor sums. The multi-device halo
-    # path always uses the split kernels (force at band edges needs the
-    # neighbor band's rho, which is exchanged between the kernels).
+    # kernels) / "xla" force a backend. Results agree up to float
+    # reassociation of neighbor sums. The multi-device halo path always
+    # uses the split kernels (force at band edges needs the neighbor
+    # band's rho, which is exchanged between the kernels).
     pair_backend: str = "auto"
+    # Sub-step engine for the stacked resident path: "fused" = the
+    # whole-sub-step kernel (ops/pallas_sph.make_substep9 — drift, cell
+    # migration, density, force, kick AND the rigid coupling solve in ONE
+    # grid pass; one HBM read + one write of the row stack per sub-step,
+    # zero XLA glue between sub-steps); "chain" = the 3-kernel chain (ring
+    # migrate -> pair sweep -> coupling9). Physics identical up to float
+    # reassociation (tests/test_sph.py::test_substep9_matches_chain).
+    # LPE_SPH_SUBSTEP env overrides for A/B runs.
+    substep_kernel: str = "chain"
     # Grid residency across sub-steps: "auto" = on for TPU, off elsewhere;
     # "on"/"off" force it. When on, particle state lives in the dense
     # [cells, K] grid tensor for the whole tick and per-sub-step cell

@@ -1235,31 +1235,50 @@ _FP_X, _FP_Y, _FP_VX, _FP_VY, _FP_HX, _FP_HY, _FP_M, _FP_ID, _FP_OCC = \
 _ENC = 1 << 12        # packed migration target: padded_row * _ENC + padded_col
 
 
-def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
-                  stiffness, rest_density, half_dt, sub_dt, lim, cell, eps,
-                  gmin, nx, K, TX, NT, NTX, ny,
-                  rm_ref, d_ref, out1, out2,
-                  slabs, encs, migs, rho_ring, cnt_ref, sems):
-    """One whole SPH sub-step per grid pass (see make_fused_substep).
+def _substep9_kernel(RC, V, W, cn, NR, h, h2, poly6, spiky, visc_lap,
+                     viscosity, min_d2, min_rho, stiffness, rest_density,
+                     half_dt, sub_dt, lim, cell, eps, gmin, nx, K, TX, NT,
+                     NTX, ny, *refs):
+    """One WHOLE SPH sub-step — drift, cell migration, density, force,
+    second kick, and (NR > 0) the rigid-fluid coupling solve — per grid
+    pass (see make_substep9).
 
-    Rolling 4-stage pipeline over padded grid rows, one program per padded
-    row p (grid = ny+2): DMA+drift row p+3, migrate row p+2, density row
-    p+1, force+kick+output row p. Each stage's 3-row window sits entirely
+    Rolling pipeline over padded grid rows, one program per padded row p
+    (grid = ny+2): DMA+drift row p+3, migrate row p+2, density row p+1,
+    force+kick+couple+output row p. Each stage's 3-row window sits entirely
     in ring scratch, so the full sub-step costs ONE read and ONE write of
-    the row stack — the XLA substep's migrate pass, field-stack copy,
-    density/force pass and two elementwise passes collapse into a single
-    fetch. Physics matches systems/fluid/sph.py's resident substep
-    (kick-drift -> _migrate -> density -> force -> kick, reference:
-    fluid_kernels.metal:246-441) to float reassociation: the migration
-    candidate order (dy, dx, slot) and first-K overflow drop are identical.
+    the row stack: it replaces the 3-kernel chain (ring migrate -> pair
+    sweep -> coupling9) whose M9 intermediate cost one extra write plus a
+    3x3-amplified re-read per sub-step, and emits the post-migration
+    occupancy bounds so the XLA glue between sub-steps is zero. Physics
+    matches systems/fluid/sph.py's resident substep (kick-drift ->
+    _migrate -> density -> force -> kick -> couple, reference:
+    fluid_kernels.metal:246-441,533-924) to float reassociation: the
+    migration candidate order (dy, dx, slot) and first-K overflow drop are
+    identical, and the coupling math is the shared _couple_core.
 
-    Scratch: slabs = 5-slot drifted-row ring (planes as above, hx/hy in
-    4/5); encs = packed int32 migration targets per drifted row; migs =
-    5-slot migrated-row ring (plane 8 = fresh occupancy); rho_ring = 3-slot
+    The migration stage carries the ring-DMA kernel's two measured wins
+    (git: "Migrate kernel: skip matchless (dy,dx) compaction passes",
+    "Ring-DMA migrate kernel"): per-(dy, dx) passes run under
+    pl.when(any-match), and the candidate slot axis statically slices to
+    K/2 when the window's occupancy bound allows.
+
+    Scratch: slabs = 5-slot drifted-row ring (planes x,y,vx,vy,hx,hy,m,id,
+    occ after drift); encs = packed int32 migration targets; migs = 5-slot
+    migrated-row ring (plane 8 = fresh occupancy); rho_ring = 3-slot
     density ring; cnt_ref[r%5, t] = exact post-migration max cell occupancy
-    (SMEM) — the density/force stages skip tiles and bound their candidate
-    loops with it, so pair work tracks TRUE occupancy, not the conservative
-    pre-migration bound."""
+    (SMEM) — density/force bound their candidate loops with it, so pair
+    work tracks TRUE occupancy, not the conservative pre-migration bound;
+    sacc/scnt = migration rank accumulators; cacc = coupling accumulators
+    (_couple_core)."""
+    if NR > 0:
+        (rm_ref, cpl_ref, d_ref, cand_ref, rig_ref,
+         out1, out2, out3, out4,
+         slabs, encs, migs, rho_ring, cnt_ref, sems, sacc, scnt,
+         cacc) = refs
+    else:
+        (rm_ref, d_ref, out1, out2, out4,
+         slabs, encs, migs, rho_ring, cnt_ref, sems, sacc, scnt) = refs
     p = pl.program_id(0)
     NY2 = ny + 2
     f32 = out1.dtype
@@ -1309,9 +1328,6 @@ def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
     CH = 8 if K % 8 == 0 else 1
     ksl = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)     # slot ids
     kcol = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-    trilK = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-             >= jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)) \
-        .astype(f32)
 
     def zero_mig(q):
         s = q % 5
@@ -1319,9 +1335,47 @@ def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
         for t in range(NT):
             cnt_ref[s, t] = 0
 
+    KH = K // 2 if (K % 16 == 0) else K
+
+    def mig_tile(q, t, KC):
+        """Compact tile t of padded row q from drifted rows q-1..q+1 (exact
+        (dy, dx, slot) candidate order of sph.py::_migrate), candidate slot
+        axis statically sliced to KC. Running rank counts and field sums
+        live in scratch so each (dy, dx) pass runs under pl.when(any match)
+        — in a typical sub-step only the same-cell pass has matches, and an
+        empty pass costs one [KC, TX] compare + reduce."""
+        s = q % 5
+        trilC = (jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 0)
+                 >= jax.lax.broadcasted_iota(jnp.int32, (KC, KC), 1)) \
+            .astype(f32)
+        colg = t * TX + jax.lax.broadcasted_iota(jnp.int32, (1, TX), 1)
+        target = q * _ENC + colg
+        scnt[...] = jnp.zeros((1, TX), jnp.int32)
+        sacc[...] = jnp.zeros((8, K, TX), f32)
+        for dy in range(3):
+            sr = (q - 1 + dy) % 5
+            ee = ext_win(encs[sr][:KC], t)
+            ef = [ext_win(slabs[sr, f][:KC], t) for f in range(8)]
+            for dx in range(3):
+                match = ee[:, dx:dx + TX] == target          # [KC, TX]
+
+                @pl.when(jnp.sum(match.astype(jnp.int32)) > 0)
+                def _(match=match, ef=ef, dx=dx, trilC=trilC):
+                    local = jax.lax.dot(
+                        trilC, match.astype(f32)).astype(jnp.int32)
+                    rank = (scnt[...] + local - 1)[None]     # [1, KC, TX]
+                    oh = match[None] & (rank == ksl)         # [K, KC, TX]
+                    for f in range(8):
+                        sacc[f] = sacc[f] + jnp.where(
+                            oh, ef[f][:, dx:dx + TX][None], 0.0).sum(1)
+                    scnt[...] = scnt[...] + local[KC - 1:KC]
+        ts = slice(t * TX, (t + 1) * TX)
+        for f in range(8):
+            migs[s, f, :, ts] = sacc[f]
+        migs[s, 8, :, ts] = (kcol < scnt[...]).astype(f32)
+        cnt_ref[s, t] = jnp.minimum(jnp.max(scnt[...]), K)
+
     def mig(q):
-        """Migrate padded row q from drifted rows q-1..q+1 (exact
-        (dy, dx, slot) candidate order of sph.py::_migrate)."""
         s = q % 5
         for t in range(NT):
             pre = jnp.int32(0)
@@ -1335,41 +1389,18 @@ def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
                         jnp.zeros((K, TX), f32)
                 cnt_ref[s, t] = 0
 
-            @pl.when(pre > 0)
-            def _(t=t, q=q, s=s):
-                colg = t * TX + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, TX), 1)
-                target = q * _ENC + colg
-                # straight-line pass over the 9 candidate windows in
-                # canonical (dy, dx, slot) order: per window one
-                # triangular matmul gives the within-window rank prefix
-                # (exact: 0/1 values, f32 accumulation); a running
-                # per-column count chains the windows. No fori loops or
-                # carries — compiles orders of magnitude faster than the
-                # chunked-loop formulation and keeps the VPU/MXU busy
-                # with large regular ops.
-                cnt = jnp.zeros((1, TX), jnp.int32)
-                accs = [jnp.zeros((K, TX), f32) for _ in range(8)]
-                for dy in range(3):
-                    sr = (q - 1 + dy) % 5
-                    ee = ext_win(encs[sr], t)
-                    ef = [ext_win(slabs[sr, f], t) for f in range(8)]
-                    for dx in range(3):
-                        match = ee[:, dx:dx + TX] == target   # [K, TX]
-                        local = jax.lax.dot(
-                            trilK, match.astype(f32)).astype(jnp.int32)
-                        rank = (cnt + local - 1)[None]        # [1, K, TX]
-                        oh = match[None] & (rank == ksl)      # [K, K, TX]
-                        for f in range(8):
-                            cw = ef[f][:, dx:dx + TX][None]
-                            accs[f] = accs[f] + \
-                                jnp.where(oh, cw, 0.0).sum(1)
-                        cnt = cnt + local[K - 1:K]
-                for f in range(8):
-                    migs[s, f, :, t * TX:(t + 1) * TX] = accs[f]
-                migs[s, 8, :, t * TX:(t + 1) * TX] = \
-                    (kcol < cnt).astype(f32)
-                cnt_ref[s, t] = jnp.minimum(jnp.max(cnt), K)
+            if KH < K:
+                @pl.when((pre > 0) & (pre <= KH))
+                def _(t=t, q=q):
+                    mig_tile(q, t, KH)
+
+                @pl.when(pre > KH)
+                def _(t=t, q=q):
+                    mig_tile(q, t, K)
+            else:
+                @pl.when(pre > 0)
+                def _(t=t, q=q):
+                    mig_tile(q, t, K)
 
     kk2 = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
 
@@ -1426,6 +1457,10 @@ def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
     def zero_out(t):
         out1[0, :, :, t * TX:(t + 1) * TX] = jnp.zeros((9, K, TX), f32)
         out2[0, :, :, t * TX:(t + 1) * TX] = jnp.zeros((2, K, TX), f32)
+        if NR > 0:
+            for i in range(4 * RC):
+                out3[0, t, i] = jnp.float32(0.0)
+        out4[0, 0, t] = 0
 
     def force_out(q):
         """Force on migrated row q + second kick; writes the output row."""
@@ -1487,21 +1522,57 @@ def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
                     nit = (bound + CH - 1) // CH
                     fx_a, fy_a = jax.lax.fori_loop(0, nit, body,
                                                    (fx_a, fy_a))
-                # second kick (metal:428-441) + output row assembly
-                out1[0, _FP_X, :, ts] = migs[sq, _FP_X, :, ts]
-                out1[0, _FP_Y, :, ts] = migs[sq, _FP_Y, :, ts]
-                out1[0, _FP_VX, :, ts] = migs[sq, _FP_HX, :, ts] \
-                    + half_dt * fx_a
-                out1[0, _FP_VY, :, ts] = migs[sq, _FP_HY, :, ts] \
-                    + half_dt * fy_a
-                out1[0, _FP_HX, :, ts] = fx_a
-                out1[0, _FP_HY, :, ts] = fy_a
-                out1[0, _FP_M, :, ts] = migs[sq, _FP_M, :, ts]
-                out1[0, _FP_ID, :, ts] = migs[sq, _FP_ID, :, ts]
-                out1[0, _FP_OCC, :, ts] = migs[sq, _FP_OCC, :, ts]
+                # second kick (metal:428-441), then coupling / output row
+                x1 = migs[sq, _FP_X, :, ts]
+                y1 = migs[sq, _FP_Y, :, ts]
+                vx1 = migs[sq, _FP_HX, :, ts] + half_dt * fx_a
+                vy1 = migs[sq, _FP_HY, :, ts] + half_dt * fy_a
+                mm = migs[sq, _FP_M, :, ts]
+                occ = migs[sq, _FP_OCC, :, ts]
                 rho_t = rho_ring[q % 3, :, ts]
+                pe = eos(rho_t)
+
+                def write_row(xo, yo, vxo, vyo, axo, ayo, t=t, sq=sq,
+                              ts=ts):
+                    out1[0, _FP_X, :, ts] = xo
+                    out1[0, _FP_Y, :, ts] = yo
+                    out1[0, _FP_VX, :, ts] = vxo
+                    out1[0, _FP_VY, :, ts] = vyo
+                    out1[0, _FP_HX, :, ts] = axo
+                    out1[0, _FP_HY, :, ts] = ayo
+                    out1[0, _FP_M, :, ts] = migs[sq, _FP_M, :, ts]
+                    out1[0, _FP_ID, :, ts] = migs[sq, _FP_ID, :, ts]
+                    out1[0, _FP_OCC, :, ts] = migs[sq, _FP_OCC, :, ts]
+
+                if NR > 0:
+                    off = cn["boundary_offset"]
+
+                    @pl.when(cpl_ref[q, t] > 0)
+                    def _(q=q, t=t, x1=x1, y1=y1, vx1=vx1, vy1=vy1,
+                          rho_t=rho_t, pe=pe, mm=mm, occ=occ,
+                          fx_a=fx_a, fy_a=fy_a):
+                        crow = cand_ref[pl.ds(q, 1), :]      # [1, RC] ids
+                        nx_, ny_, vxo, vyo, axo, ayo = _couple_core(
+                            RC, V, cn, K, TX, t, crow, rig_ref, out3,
+                            cacc, x1, y1, vx1, vy1, rho_t, pe, mm, occ,
+                            fx_a, fy_a)
+                        write_row(nx_, ny_, vxo, vyo, axo, ayo)
+
+                    @pl.when(cpl_ref[q, t] == 0)
+                    def _(q=q, t=t, x1=x1, y1=y1, vx1=vx1, vy1=vy1,
+                          fx_a=fx_a, fy_a=fy_a):
+                        # copy-through with the global out-of-tank floor
+                        # clamp the coupled XLA path applies per sub-step
+                        write_row(jnp.where(x1 < 0.0, off, x1),
+                                  jnp.where(y1 < 0.0, off, y1),
+                                  vx1, vy1, fx_a, fy_a)
+                        for i in range(4 * RC):
+                            out3[0, t, i] = jnp.float32(0.0)
+                else:
+                    write_row(x1, y1, vx1, vy1, fx_a, fy_a)
                 out2[0, 0, :, ts] = rho_t
-                out2[0, 1, :, ts] = eos(rho_t)
+                out2[0, 1, :, ts] = pe
+                out4[0, 0, t] = cnt_ref[sq, t]
 
     # ---- schedule -------------------------------------------------------
     @pl.when(p == 0)
@@ -1555,71 +1626,114 @@ def _fused_kernel(h, h2, poly6, spiky, visc_lap, viscosity, min_d2, min_rho,
             zero_out(t)
 
 
-def make_fused_substep(ny: int, nx: int, NT: int, K: int, h: float,
-                       poly6: float, spiky: float, visc_lap: float,
-                       viscosity: float, min_d2: float, min_rho: float,
-                       stiffness: float, rest_density: float,
-                       half_dt: float, sub_dt: float, lim: float,
-                       cell: float, eps: float, gmin: int,
-                       TX: int = TILE_X, dtype=jnp.float32,
-                       interpret: bool = False):
-    """Returns substep(rm2, D9) -> (D9', rho_p) for one whole SPH sub-step.
+def make_substep9(ny: int, nx: int, NT: int, K: int, h: float,
+                  poly6: float, spiky: float, visc_lap: float,
+                  viscosity: float, min_d2: float, min_rho: float,
+                  stiffness: float, rest_density: float,
+                  half_dt: float, sub_dt: float, lim: float,
+                  cell: float, eps: float, gmin: int,
+                  NR: int = 0, V: int = 0, consts: dict | None = None,
+                  RC: int = 16, TX: int = TILE_X, dtype=jnp.float32,
+                  interpret: bool = False):
+    """Whole-sub-step kernel. With rigids (NR > 0):
 
-    D9 is the padded 9-plane stack [ny+2, 9, K, NT*TX] (planes: x, y, vx,
-    vy, ax, ay, m, id, occ); rm2 the per-(padded-row, tile) max cell
-    occupancy [ny+2, NT] int32 of D9's occ plane. D9' has the same layout
-    with post-sub-step values (planes 4/5 = new accelerations), so it feeds
-    straight back in; rho_p is [ny+2, 2, K, NT*TX] (density, pressure).
-    Replaces the whole XLA substep body: integrate + _migrate + density +
-    force + second kick in ONE pass over the grid rows.
+        substep(rm, cpl, cand, rig, ST) -> (ST', rho_p, partials, bounds)
 
-    Status: EXPERIMENTAL (pair_backend="fused"), measured v5e dam break
-    vs the default sweep + XLA migrate: 43.4 vs 50.6 ticks/s at 20k, 6.6
-    vs 9.4 at 100k (and ~10x the compile time). The in-kernel migration's
-    9-window one-hot compaction costs more per active cell than the XLA
-    formulation's whole-grid pass saves in HBM round-trips/dispatch, so
-    the fusion loses on today's Mosaic codegen. Kept with interpret-mode
-    parity tests as the starting point for future kernel work."""
+    without: ``substep(rm, ST) -> (ST', rho_p, bounds)``.
+
+    ST is the padded 9-plane stack [ny+2, 9, K, NT*TX] (planes: x, y, vx,
+    vy, ax, ay, m, id, occ); rm the per-(padded-row, tile) max cell
+    occupancy [ny+2, NT] int32 of ST's occ plane — exactly what ``bounds``
+    reports for the OUTPUT stack, so successive sub-steps chain with zero
+    XLA glue (coupling moves particles only within their cell's 3x3 window,
+    which the next migrate's walking clamp absorbs, so the post-migration
+    bound stays valid). cpl [ny+2, NT] int32 is the GEOMETRIC coupling
+    mask (rigid AABB near the tile; sph.py _cpl_mask with occupancy left
+    to the kernel's own post-migration counts); cand/rig are coupling9's
+    candidate-row and rigid-proxy tables. ST' feeds straight back in;
+    rho_p is [ny+2, 2, K, NT*TX] (density, pressure); partials are
+    per-(row, tile) (fx, fy, tq, id) candidate sums [ny+2, NT, 4*RC].
+
+    Replaces the 3-kernel chain (make_migrate_ring -> make_pair_sweep ->
+    make_coupling9) with ONE pass over the grid rows: same physics
+    (reference: fluid_kernels.metal:246-441,533-924) up to float
+    reassociation, one HBM read + one write of the row stack per sub-step
+    instead of three reads (one 3x3-amplified) and two writes."""
     if ny < 2:
-        raise ValueError("fused substep needs ny >= 2")
+        raise ValueError("substep9 needs ny >= 2")
     if nx + 2 >= _ENC:
         raise ValueError(f"grid too wide for packed targets (nx={nx})")
     NTX = NT * TX
+    W = 15 + 2 * V
+    RC = min(RC, max(NR, 1))
     kern = functools.partial(
-        _fused_kernel, h, h * h, poly6, spiky, visc_lap, viscosity,
-        min_d2, min_rho, stiffness, rest_density, half_dt, sub_dt, lim,
-        cell, eps, gmin, nx, K, TX, NT, NTX, ny)
+        _substep9_kernel, RC, V, W, consts or {}, NR, h, h * h, poly6,
+        spiky, visc_lap, viscosity, min_d2, min_rho, stiffness,
+        rest_density, half_dt, sub_dt, lim, cell, eps, gmin, nx, K, TX,
+        NT, NTX, ny)
+    npf = 2 if NR > 0 else 1
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_specs = [
+        pl.BlockSpec((1, 9, K, NTX), lambda j, *_: (j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, K, NTX), lambda j, *_: (j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ny + 2, 9, K, NTX), dtype),
+        jax.ShapeDtypeStruct((ny + 2, 2, K, NTX), dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((5, 9, K, NTX), dtype),       # drifted-row ring
+        pltpu.VMEM((5, K, NTX), jnp.int32),      # packed targets
+        pltpu.VMEM((5, 9, K, NTX), dtype),       # migrated-row ring
+        pltpu.VMEM((3, K, NTX), dtype),          # rho ring
+        pltpu.SMEM((5, NT), jnp.int32),          # post-mig occupancy
+        pltpu.SemaphoreType.DMA((5,)),
+        pltpu.VMEM((8, K, TX), dtype),           # migration field sums
+        pltpu.VMEM((1, TX), jnp.int32),          # migration rank counts
+    ]
+    if NR > 0:
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((ny + 2, RC), lambda j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NR + 1, W), lambda j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs.append(pl.BlockSpec((1, NT, 4 * RC),
+                                      lambda j, *_: (j, 0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((ny + 2, NT, 4 * RC), dtype))
+        scratch.append(pltpu.VMEM((6, K, TX), dtype))  # coupling accs
+    # 3-D like the partials block: a 2-D (1, NT) SMEM block trips the
+    # last-two-dims tiling check in the TPU lowering
+    out_specs.append(pl.BlockSpec((1, 1, NT), lambda j, *_: (j, 0, 0),
+                                  memory_space=pltpu.SMEM))
+    out_shape.append(jax.ShapeDtypeStruct((ny + 2, 1, NT), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=npf,
         grid=(ny + 2,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, 9, K, NTX), lambda j, rm: (j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, K, NTX), lambda j, rm: (j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((5, 9, K, NTX), dtype),       # drifted-row ring
-            pltpu.VMEM((5, K, NTX), jnp.int32),      # packed targets
-            pltpu.VMEM((5, 9, K, NTX), dtype),       # migrated-row ring
-            pltpu.VMEM((3, K, NTX), dtype),          # rho ring
-            pltpu.SMEM((5, NT), jnp.int32),          # post-mig occupancy
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((ny + 2, 9, K, NTX), dtype),
-            jax.ShapeDtypeStruct((ny + 2, 2, K, NTX), dtype),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )
 
-    def substep(rm2, D9):
-        return call(rm2, D9)
+    if NR > 0:
+        def substep(rm, cpl, cand, rig, ST):
+            ST2, RP, parts, rm2 = call(rm, cpl, ST, cand, rig)
+            return ST2, RP, parts, rm2[:, 0]
+    else:
+        def substep(rm, ST):
+            ST2, RP, rm2 = call(rm, ST)
+            return ST2, RP, rm2[:, 0]
 
     return substep
 

@@ -41,11 +41,23 @@ class SphOracle:
         self.poly6 = 4.0 / (math.pi * h ** 8)
         self.spiky = -30.0 / (math.pi * h ** 5)
         self.visc = 40.0 / (math.pi * h ** 5)
+        # per-particle smoothing lengths (reference: fluid.cpp:293 gathers
+        # h per particle, fluid_kernels.metal:362-396 uses the pairwise
+        # average h-bar); None = uniform self.h
+        self.hs = None
+
+    def _hbar(self, i, j):
+        if self.hs is None:
+            return self.h
+        return 0.5 * (self.hs[i] + self.hs[j])
 
     def _neighbors(self, pos):
         """Uniform grid, cell = 2h: candidate pairs (i, j), fully vectorized
-        (sorted cell ids + searchsorted range lookups per 3x3 offset)."""
-        cell = 2.0 * self.h
+        (sorted cell ids + searchsorted range lookups per 3x3 offset).
+        Mixed h: cell = 2*max(h), the reference's dynamic sizing
+        (fluid.cpp:723-755) evaluated at the static per-scene max."""
+        hmax = self.h if self.hs is None else float(np.max(self.hs))
+        cell = 2.0 * hmax
         keys = np.floor(pos / cell).astype(np.int64)
         cid = keys[:, 0] * (1 << 32) + keys[:, 1]
         order = np.argsort(cid, kind="stable")
@@ -72,8 +84,10 @@ class SphOracle:
         i, j = self._neighbors(pos)
         d = pos[i] - pos[j]
         r2 = (d * d).sum(-1)
-        h2 = self.h * self.h
-        w = np.where(r2 < h2, self.poly6 * (h2 - r2) ** 3, 0.0)
+        hb = self._hbar(i, j)
+        h2 = hb * hb
+        poly6 = self.poly6 if self.hs is None else 4.0 / (math.pi * hb ** 8)
+        w = np.where(r2 < h2, poly6 * (h2 - r2) ** 3, 0.0)
         rho = np.zeros(len(pos))
         np.add.at(rho, i, mass[j] * w)
         pres = np.maximum(self.k * (rho - self.rest), 0.0)
@@ -85,16 +99,20 @@ class SphOracle:
         i, j = i[keep], j[keep]
         d = pos[i] - pos[j]
         r2 = (d * d).sum(-1)
-        h = self.h
+        h = self._hbar(i, j)
         ok = (r2 >= self.min_d2) & (r2 < h * h) & \
             (rho[i] >= self.min_rho) & (rho[j] >= self.min_rho)
+        if self.hs is not None:
+            h = h[ok]
         i, j, d, r2 = i[ok], j[ok], d[ok], r2[ok]
         r = np.sqrt(r2)
         term = pres[i] / rho[i] ** 2 + pres[j] / rho[j] ** 2
-        w_spiky = self.spiky * (h - r) ** 2
+        spiky = self.spiky if self.hs is None else -30.0 / (math.pi * h ** 5)
+        visc = self.visc if self.hs is None else 40.0 / (math.pi * h ** 5)
+        w_spiky = spiky * (h - r) ** 2
         f_press = -mass[j] * term * w_spiky
         f = f_press[:, None] * d / r[:, None]
-        w_visc = self.visc * (h - r)
+        w_visc = visc * (h - r)
         f_visc = self.mu * mass[j] * (w_visc / rho[j])
         f -= f_visc[:, None] * (vel[i] - vel[j])
         acc = np.zeros_like(pos)

@@ -94,6 +94,13 @@ class SceneSpec:
     # a liquid with a Sleep component would need fresh per-tick velocities
     # in particle order, which a grid-resident block doesn't materialize
     liquid_has_sleep: bool = False
+    # per-particle smoothing lengths (reference: fluid.cpp:293 gathers h per
+    # particle; fluid_kernels.metal:362-396 uses the pairwise average).
+    # Uniform-h scenes (all 7 reference scenarios) take the fast kernel
+    # paths with build-time-baked coefficients; mixed-h scenes use the XLA
+    # pair path with per-pair h-bar (systems/fluid/sph.py).
+    liquid_h_uniform: bool = True
+    max_liquid_h: float = 0.0
     name: str = "scene"
 
     @property
@@ -247,6 +254,9 @@ class SceneBuilder:
             any_rigid_polygon=bool(
                 (shape_kind[:ns + ng] == int(ShapeKind.POLYGON)).any()),
             liquid_has_sleep=bool(has_sleep[ns + ng:n].any()),
+            liquid_h_uniform=bool(
+                nl == 0 or np.ptp(h[ns + ng:n]) == 0.0),
+            max_liquid_h=float(h[ns + ng:n].max()) if nl else 0.0,
             name=self.name,
         )
 

@@ -159,6 +159,19 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
     L0 = spec.liquid_start
     NR = L0                       # solids + gas precede liquids in layout
     h = fc.grid.smoothing_length
+    # Per-particle smoothing lengths (reference: fluid.cpp:293 gathers h
+    # per particle, metal:362-396 uses the pairwise average h-bar =
+    # (h_i+h_j)/2). Mixed-h scenes: the grid cell and the 3x3 support are
+    # bounded by the scene max (h is immutable at runtime, so the
+    # reference's per-sub-step rescale, fluid.cpp:723-755, collapses to a
+    # static bound) and the pair math uses per-pair h-bar on the XLA path;
+    # uniform-h scenes (all 7 reference scenarios) keep the fast kernel
+    # paths with build-time-baked coefficients.
+    var_h = not spec.liquid_h_uniform
+    if var_h:
+        h = max(h, float(spec.max_liquid_h))
+        mesh = None               # mixed-h runs unsharded (GSPMD handles
+        #                           multi-device states transparently)
     if fc.grid.cell_size_factor < 1.0:
         raise ValueError("cell_size_factor must be >= 1.0 (3x3 scan needs "
                          "cells at least h wide to cover the r<h support)")
@@ -184,17 +197,22 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
     nm = fc.numerical
     K = max(1, min(fc.grid.max_per_cell, NL))
     nxp = nx + 2
-    # "pallas" = split density/force row-band kernels; "sweep" = the fused
-    # rolling-window pair pass (ops/pallas_sph.make_pair_sweep); "fused" =
-    # the whole-substep kernel (drift+migrate+density+force+kick —
-    # make_fused_substep, resident mode only; opt-in: measured SLOWER than
-    # sweep + XLA migrate on v5e, see make_fused_substep's docstring).
-    # auto = sweep on TPU.
-    use_pallas = fc.pair_backend in ("pallas", "sweep", "fused") or (
-        fc.pair_backend == "auto" and jax.default_backend() == "tpu")
+    # "pallas" = split density/force row-band kernels; "sweep" (and the
+    # legacy alias "fused") = the fused rolling-window pair pass
+    # (ops/pallas_sph.make_pair_sweep). auto = sweep on TPU. The stacked
+    # resident path additionally picks its sub-step engine via
+    # fc.substep_kernel: "fused" = the whole-sub-step kernel
+    # (make_substep9: drift+migrate+density+force+kick+couple in ONE grid
+    # pass), "chain" = the 3-kernel chain (ring migrate -> pair sweep ->
+    # coupling9). LPE_SPH_SUBSTEP overrides for A/B runs.
+    use_pallas = (fc.pair_backend in ("pallas", "sweep", "fused") or (
+        fc.pair_backend == "auto" and jax.default_backend() == "tpu")) \
+        and not var_h             # mixed-h pairs use the XLA path
     use_sweep = use_pallas and ny >= 2 and \
         fc.pair_backend not in ("pallas",)
-    use_fused = use_sweep and fc.pair_backend == "fused" and mesh is None
+    import os as _os
+    _sub_mode = _os.environ.get("LPE_SPH_SUBSTEP",
+                                getattr(fc, "substep_kernel", "chain"))
 
     def cell_coords(x, y):
         gx = jnp.floor((x + eps) / cell).astype(jnp.int32) - gmin
@@ -358,24 +376,6 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             return occ.sum(axis=1).reshape(occ.shape[0], _NT, _TX) \
                       .max(-1).astype(jnp.int32)
 
-        if use_fused:
-            from ...ops.pallas_sph import make_fused_substep
-            # drift clamp: migration handles at most 1-cell moves per
-            # sub-step (see step_resident)
-            _lim = 0.45 * cell
-            _pl_fused = make_fused_substep(
-                ny, nx, _NT, K, h, POLY6, SPIKY, VISC, fc.viscosity,
-                nm.min_distance_threshold, nm.min_density_threshold,
-                fc.stiffness, fc.rest_density, half_dt, sub_dt, _lim,
-                cell, eps, gmin, interpret=_interp)
-
-        def _d9_stack(D0):
-            zp = _padx(jnp.zeros_like(D0["x"]))
-            return jnp.stack(
-                [_padx(D0["x"]), _padx(D0["y"]), _padx(D0["vx"]),
-                 _padx(D0["vy"]), zp, zp, _padx(D0["m"]), _padx(D0["id"]),
-                 _padx(D0["occ"])], axis=1)
-
         def _d6_stack(Dn):
             return jnp.stack([_padx(Dn[f]) for f in
                               ("x", "y", "vx", "vy", "m", "occ")], axis=1)
@@ -436,37 +436,56 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
 
     def density_core(D):
         """Dense-in/dense-out poly6 density: D is the padded dense dict
-        (XLA layout [ny+2, nx+2, K]) with keys x, y, m, occ; returns the
-        interior rho [ny, nx, K]."""
+        (XLA layout [ny+2, nx+2, K]) with keys x, y, m, occ (+ h for
+        mixed-h scenes: per-pair h-bar coefficients, metal:362-396);
+        returns the interior rho [ny, nx, K]."""
         h2 = h * h
         ctr = lambda v: v[1:-1, 1:-1]
         sx, sy, socc = ctr(D["x"]), ctr(D["y"]), ctr(D["occ"])
+        if var_h:
+            sh = ctr(D["h"])
 
         def step_fn(rho, nbr, _is_center):
             ddx = _ctr(sx) - _nbr(nbr["x"])
             ddy = _ctr(sy) - _nbr(nbr["y"])
             r2 = ddx * ddx + ddy * ddy
             pair_ok = (_ctr(socc) * _nbr(nbr["occ"])) > 0
-            w = jnp.where(pair_ok & (r2 < h2), POLY6 * (h2 - r2) ** 3, 0.0)
+            if var_h:
+                hb = 0.5 * (_ctr(sh) + _nbr(nbr["h"]))
+                h2p = hb * hb
+                coef = 4.0 / (math.pi * jnp.maximum(h2p, 1e-30) ** 4)
+                w = jnp.where(pair_ok & (r2 < h2p),
+                              coef * (h2p - r2) ** 3, 0.0)
+            else:
+                w = jnp.where(pair_ok & (r2 < h2),
+                              POLY6 * (h2 - r2) ** 3, 0.0)
             return rho + (_nbr(nbr["m"]) * w).sum(-1)
 
-        fields = {k: D[k] for k in ("x", "y", "m", "occ")}
+        keys = ("x", "y", "m", "occ") + (("h",) if var_h else ())
+        fields = {k: D[k] for k in keys}
         return _offsets(fields, step_fn, jnp.zeros_like(ctr(D["x"])))
 
-    def density_pass(x, y, mass, grid):
+    def density_pass(x, y, mass, grid, hp=None):
         """Returns (rho, pres, D): particle-order density/pressure plus the
         dense field dict, which the force pass extends in place — the
         position/mass/occupancy scatters and the dense rho/pres are shared
         between the two passes instead of being rebuilt (scatters are the
         substep's dominant cost on TPU, not the pair math)."""
         h2 = h * h
-        D = to_dense(grid, dict(x=x, y=y, m=mass, occ=jnp.ones_like(x)))
+        flds = dict(x=x, y=y, m=mass, occ=jnp.ones_like(x))
+        if var_h:
+            flds["h"] = hp
+        D = to_dense(grid, flds)
         rho_dense = density_core(D)
         rho_pad = jnp.pad(rho_dense, ((1, 1), (1, 1), (0, 0)))
         (rho,) = from_dense(grid, [rho_pad])
         # overflow particles (rank >= K) at least see themselves, as in the
         # reference where every particle self-contributes (metal:284-295)
-        rho = jnp.where(grid["pvalid"], rho, mass * POLY6 * h2 ** 3)
+        if var_h:
+            self_rho = mass * (4.0 / (math.pi * hp ** 8)) * (hp * hp) ** 3
+        else:
+            self_rho = mass * POLY6 * h2 ** 3
+        rho = jnp.where(grid["pvalid"], rho, self_rho)
         pres = jnp.maximum(fc.stiffness * (rho - fc.rest_density), 0.0)
         D["rho"] = rho_pad
         D["p"] = jnp.maximum(fc.stiffness * (rho_pad - fc.rest_density), 0.0)
@@ -482,6 +501,8 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         svx, svy = ctr(D["vx"]), ctr(D["vy"])
         srho, sp = ctr(D["rho"]), ctr(D["p"])
         socc = ctr(D["occ"])
+        if var_h:
+            sh = ctr(D["h"])
         kk = jnp.arange(K)
         diag = kk[:, None] == kk[None, :]
 
@@ -492,17 +513,26 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             r2 = ddx * ddx + ddy * ddy
             ok = (_ctr(socc) * _nbr(nbr["occ"])) > 0
             ok = ok & ~(is_center & diag)
-            ok = ok & (r2 >= nm.min_distance_threshold) & (r2 < h2) \
+            if var_h:
+                hp = 0.5 * (_ctr(sh) + _nbr(nbr["h"]))
+                h2p = hp * hp
+                h5 = jnp.maximum(hp, 1e-30) ** 5
+                spiky_c = -30.0 / (math.pi * h5)
+                visc_c = 40.0 / (math.pi * h5)
+            else:
+                hp, h2p = h, h2
+                spiky_c, visc_c = SPIKY, VISC
+            ok = ok & (r2 >= nm.min_distance_threshold) & (r2 < h2p) \
                 & (_nbr(nbr["rho"]) >= nm.min_density_threshold) \
                 & (_ctr(srho) >= nm.min_density_threshold)
             r = jnp.sqrt(jnp.maximum(r2, 1e-30))
             term = _ctr(sp) / jnp.maximum(_ctr(srho) ** 2, 1e-30) \
                 + _nbr(nbr["p"]) / jnp.maximum(_nbr(nbr["rho"]) ** 2, 1e-30)
-            w_spiky = SPIKY * (h - r) ** 2
+            w_spiky = spiky_c * (hp - r) ** 2
             f_press = -_nbr(nbr["m"]) * term * w_spiky
             fx = f_press * ddx / r
             fy = f_press * ddy / r
-            w_visc = VISC * (h - r)
+            w_visc = visc_c * (hp - r)
             f_visc = fc.viscosity * _nbr(nbr["m"]) * (
                 w_visc / jnp.maximum(_nbr(nbr["rho"]), 1e-30))
             fx = fx - f_visc * (_ctr(svx) - _nbr(nbr["vx"]))
@@ -512,8 +542,9 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             return fx_a + fx.sum(-1), fy_a + fy.sum(-1)
 
         z = jnp.zeros_like(sx)
-        fields = {k: D[k] for k in ("x", "y", "vx", "vy", "m", "rho", "p",
-                                    "occ")}
+        keys = ("x", "y", "vx", "vy", "m", "rho", "p", "occ") \
+            + (("h",) if var_h else ())
+        fields = {k: D[k] for k in keys}
         return _offsets(fields, step_fn, (z, z))
 
     def force_pass(vx, vy, D, grid):
@@ -546,7 +577,8 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             return jnp.pad(v, ((1, 1), (0, 0), (1, 1)), constant_values=fill)
         return jnp.pad(v, ((1, 1), (1, 1), (0, 0)), constant_values=fill)
 
-    _RES_FIELDS = ("x", "y", "vx", "vy", "hx", "hy", "m", "id")
+    _RES_FIELDS = ("x", "y", "vx", "vy", "hx", "hy", "m", "id") \
+        + (("h",) if var_h else ())   # per-particle h rides the migration
 
     def _migrate(Dp, row_off=0):
         """Per-sub-step cell migration, fully dense.
@@ -976,10 +1008,14 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             if use_sweep:
                 rho, pres, fx, fy = pair_sweep_pass(
                     x1, y1, cr["vx"], cr["vy"], mass, grid)
+            elif use_pallas:
+                rho, pres, D = density_pass_pl(x1, y1, mass, grid)
+                fpass = force_pass_pl
             else:
-                dpass = density_pass_pl if use_pallas else density_pass
-                fpass = force_pass_pl if use_pallas else force_pass
-                rho, pres, D = dpass(x1, y1, mass, grid)
+                rho, pres, D = density_pass(
+                    x1, y1, mass, grid,
+                    hp=b.h[L0:L0 + NL] if var_h else None)
+                fpass = force_pass
             if _ablate == "density":
                 return dict(cr, x=x1, y=y1, vx=vhx, vy=vhy,
                             rho=rho, pres=pres)
@@ -1050,9 +1086,12 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         y = b.pos[L0:L0 + NL, 1]
         idf = jnp.arange(1, NL + 1, dtype=x.dtype)     # 0 = empty slot
         grid = build_grid(x, y, clamp=True)
-        D0 = to_dense(grid, dict(
+        flds = dict(
             x=x, y=y, vx=b.vel[L0:L0 + NL, 0], vy=b.vel[L0:L0 + NL, 1],
-            m=b.mass[L0:L0 + NL], id=idf, occ=jnp.ones_like(x)))
+            m=b.mass[L0:L0 + NL], id=idf, occ=jnp.ones_like(x))
+        if var_h:
+            flds["h"] = b.h[L0:L0 + NL]
+        D0 = to_dense(grid, flds)
         zd = jnp.zeros_like(D0["x"])
         return dict(D0, hx=zd, hy=zd, ax=zd, ay=zd, rho=zd, p=zd)
 
@@ -1071,7 +1110,20 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
     # per-tile occupancy bounds and the per-rigid partial reduction.
     # ------------------------------------------------------------------
     use_stacked = use_sweep and mesh is None
-    if use_stacked:
+    use_sub9 = use_stacked and _sub_mode == "fused"
+    if use_sub9:
+        from ...ops.pallas_sph import make_substep9
+        _pl_sub9 = make_substep9(
+            ny, nx, _NT, K, h, POLY6, SPIKY, VISC, fc.viscosity,
+            nm.min_distance_threshold, nm.min_density_threshold,
+            fc.stiffness, fc.rest_density, half_dt, sub_dt, _RES_LIM,
+            cell, eps, gmin,
+            NR=NR if use_cpl_kernel else 0,
+            V=_VR if use_cpl_kernel else 0,
+            consts=_CN if use_cpl_kernel else None,
+            RC=_RC if use_cpl_kernel else 16,
+            interpret=_interp)
+    elif use_stacked:
         from ...ops.pallas_sph import (make_coupling9, make_migrate_ring)
         _pl_migrate = make_migrate_ring(ny, nx, _NT, K, half_dt, sub_dt,
                                         _RES_LIM, cell, eps, gmin,
@@ -1121,6 +1173,33 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
 
         return substep
 
+    def _make_res_substep_st9(R, rig_tab, cand_tab):
+        """Sub-step via the WHOLE-sub-step kernel (make_substep9): one
+        kernel per sub-step, zero XLA glue — the occupancy bounds chain
+        through the carry (cr["RM"]) and the geometric coupling mask is a
+        tick constant."""
+        if NR > 0:
+            cplg = _cpl_mask(jnp.ones((ny + 2, _NT), jnp.int32), R)
+
+        def substep(_, cr):
+            with jax.named_scope("substep9"):
+                if NR > 0:
+                    ST2, RP, parts, rm2 = _pl_sub9(
+                        cr["RM"], cplg, cand_tab, rig_tab, cr["ST"])
+                    pr = parts.reshape(-1, 4)
+                    ids = jnp.round(pr[:, 3]).astype(jnp.int32)
+                    acc = jnp.zeros((NR + 1, 3), pr.dtype).at[ids].add(
+                        pr[:, :3], mode="drop")
+                    return dict(ST=ST2, RM=rm2, RP=RP,
+                                Fx=cr["Fx"] + acc[:NR, 0],
+                                Fy=cr["Fy"] + acc[:NR, 1],
+                                Tq=cr["Tq"] + acc[:NR, 2])
+                ST2, RP, rm2 = _pl_sub9(cr["RM"], cr["ST"])
+                return dict(ST=ST2, RM=rm2, RP=RP, Fx=cr["Fx"],
+                            Fy=cr["Fy"], Tq=cr["Tq"])
+
+        return substep
+
     def _make_res_substep(R, rig_tab, cand_tab, _ablate):
         lim = _RES_LIM
 
@@ -1138,10 +1217,13 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                 z = jnp.zeros_like(x1)
                 return dict(cr, D=dict(D, x=x1, y=y1, vx=vhx, vy=vhy,
                                        ax=z, ay=z))
+            mig_in = dict(x=x1, y=y1, vx=D["vx"], vy=D["vy"],
+                          hx=vhx, hy=vhy, m=D["m"], id=D["id"],
+                          occ=D["occ"])
+            if var_h:
+                mig_in["h"] = D["h"]
             with jax.named_scope("migrate"):
-                Dn = _migrate(dict(x=x1, y=y1, vx=D["vx"], vy=D["vy"],
-                                   hx=vhx, hy=vhy, m=D["m"], id=D["id"],
-                                   occ=D["occ"]))
+                Dn = _migrate(mig_in)
             Dn = dict(Dn, ax=D["ax"], ay=D["ay"], rho=D["rho"], p=D["p"])
             if _ablate == "grid":
                 return dict(cr, D=Dn)
@@ -1234,15 +1316,23 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             ST = jnp.stack([_padx(D["x"]), _padx(D["y"]), _padx(D["vx"]),
                             _padx(D["vy"]), zp, zp, _padx(D["m"]),
                             _padx(D["id"]), _padx(D["occ"])], axis=1)
-            carry0 = dict(ST=ST, RHO=jnp.zeros((ny, K, _nxp_t), dt_),
-                          Fx=jnp.zeros((max(NR, 1),), dt_),
-                          Fy=jnp.zeros((max(NR, 1),), dt_),
-                          Tq=jnp.zeros((max(NR, 1),), dt_))
-            substep = _make_res_substep_st(R, rig_tab, cand_tab)
+            F0 = dict(Fx=jnp.zeros((max(NR, 1),), dt_),
+                      Fy=jnp.zeros((max(NR, 1),), dt_),
+                      Tq=jnp.zeros((max(NR, 1),), dt_))
+            if use_sub9:
+                carry0 = dict(ST=ST, RM=_tile_bounds_t(ST[:, 8]),
+                              RP=jnp.zeros((ny + 2, 2, K, _nxp_t), dt_),
+                              **F0)
+                substep = _make_res_substep_st9(R, rig_tab, cand_tab)
+            else:
+                carry0 = dict(ST=ST, RHO=jnp.zeros((ny, K, _nxp_t), dt_),
+                              **F0)
+                substep = _make_res_substep_st(R, rig_tab, cand_tab)
             cr = jax.lax.fori_loop(0, fc.num_sub_steps, substep, carry0)
             STf = cr["ST"]
             unp = lambda v: v[:, :, :nxp]
-            rho_pad = jnp.pad(cr["RHO"][:, :, :nxp],
+            rho_rows = cr["RP"][1:ny + 1, 0] if use_sub9 else cr["RHO"]
+            rho_pad = jnp.pad(rho_rows[:, :, :nxp],
                               ((1, 1), (0, 0), (0, 0)))
             D2 = dict(x=unp(STf[:, 0]), y=unp(STf[:, 1]),
                       vx=unp(STf[:, 2]), vy=unp(STf[:, 3]),
@@ -1344,98 +1434,18 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         """Grid-resident tick: one sort/scatter at build, dense migration per
         sub-step, one gather-back at tick end. See the resident-mode comment
         block above for the design rationale."""
-        import os
-        _ablate = os.environ.get("LPE_SPH_ABLATE", "")  # perf triage only
-        if not (use_fused and _ablate == ""):
-            D0 = _grid_build(state)
-            state2, D = _grid_tick(state, D0)
-            return _grid_readback(state2, D)
-
-        b = state.bodies
-        x = b.pos[L0:L0 + NL, 0]
-        y = b.pos[L0:L0 + NL, 1]
-        vx = b.vel[L0:L0 + NL, 0]
-        vy = b.vel[L0:L0 + NL, 1]
-        R = _rigid_proxies(b, NR, spec.max_rigid_verts) if NR > 0 else None
         D0 = _grid_build(state)
-        carry0 = dict(Fx=jnp.zeros((max(NR, 1),), x.dtype),
-                      Fy=jnp.zeros((max(NR, 1),), x.dtype),
-                      Tq=jnp.zeros((max(NR, 1),), x.dtype))
-        if use_cpl_kernel:
-            rig_tab = _rigid_table(R)
-            cand_tab = _cand_rows(R, ny + 2)
-
-        # Whole-substep fused kernel: the carry is the 9-plane row
-        # stack itself — per sub-step XLA does only the (tiny) tile
-        # occupancy bound, the kernel, and (if rigids) the coupling
-        # kernel + plane restack. Physics identical to the substep
-        # body above up to float reassociation.
-        D9 = _d9_stack(D0)
-        shp2 = (ny + 2, 2) + D9.shape[2:]
-        carryf = dict(D9=D9, rm=_tile_bounds_t(D9[:, 8]),
-                      RP=jnp.zeros(shp2, D9.dtype),
-                      Fx=carry0["Fx"], Fy=carry0["Fy"],
-                      Tq=carry0["Tq"])
-
-        def substep_f(_, cr):
-            D9n, RP = _pl_fused(cr["rm"], cr["D9"])
-            rmn = _tile_bounds_t(D9n[:, 8])
-            if NR == 0:
-                return dict(cr, D9=D9n, rm=rmn, RP=RP)
-            D10 = jnp.stack([
-                D9n[:, 0], D9n[:, 1], D9n[:, 2], D9n[:, 3],
-                RP[:, 0], RP[:, 1], D9n[:, 6], D9n[:, 8],
-                D9n[:, 4], D9n[:, 5]])
-            cpl2 = _cpl_mask(rmn, R)
-            outs = _pl_couple(cpl2, cand_tab, rig_tab, D10)
-            prow_t = lambda v: jnp.pad(v, ((1, 1), (0, 0), (0, 0)))
-            x2, y2, vx2, vy2, ax2, ay2 = [prow_t(o) for o in outs[:6]]
-            off = fc.grid.boundary_offset
-            x2 = jnp.where(x2 < 0.0, off, x2)
-            y2 = jnp.where(y2 < 0.0, off, y2)
-            pr = outs[6].reshape(-1, 4)
-            ids = jnp.round(pr[:, 3]).astype(jnp.int32)
-            acc = jnp.zeros((NR + 1, 3), pr.dtype).at[ids].add(
-                pr[:, :3], mode="drop")
-            D9c = jnp.stack([x2, y2, vx2, vy2, ax2, ay2, D9n[:, 6],
-                             D9n[:, 7], D9n[:, 8]], axis=1)
-            return dict(D9=D9c, rm=rmn, RP=RP,
-                        Fx=cr["Fx"] + acc[:NR, 0],
-                        Fy=cr["Fy"] + acc[:NR, 1],
-                        Tq=cr["Tq"] + acc[:NR, 2])
-
-        crf = jax.lax.fori_loop(0, fc.num_sub_steps, substep_f, carryf)
-        D9f, RPf = crf["D9"], crf["RP"]
-        flat_idf = jnp.round(D9f[:, 7].reshape(-1)).astype(jnp.int32)
-        occ_f = D9f[:, 8].reshape(-1) > 0
-        Sf = flat_idf.shape[0]
-        tgtf = jnp.where(occ_f, flat_idf - 1, NL)
-        slotf = jnp.full((NL + 1,), -1, jnp.int32).at[tgtf].set(
-            jnp.arange(Sf, dtype=jnp.int32), mode="drop")[:NL]
-        maskf = slotf >= 0
-        gif = jnp.clip(slotf, 0)
-
-        def rbf(fld, old):
-            return jnp.where(maskf, fld.reshape(-1)[gif], old)
-
-        return _finalize(
-            state,
-            rbf(D9f[:, 0], x), rbf(D9f[:, 1], y),
-            rbf(D9f[:, 2], vx), rbf(D9f[:, 3], vy),
-            rbf(RPf[:, 0], b.density[L0:L0 + NL]),
-            rbf(RPf[:, 1], b.pressure[L0:L0 + NL]),
-            crf["Fx"], crf["Fy"], crf["Tq"])
+        state2, D = _grid_tick(state, D0)
+        return _grid_readback(state2, D)
 
     if mesh is None:
         if use_resident:
-            # cross-tick residency hooks (consumed by systems.build_run_fn;
-            # the fused backend keeps its own self-contained tick)
-            if not use_fused:
-                step_resident.grid_build = _grid_build
-                step_resident.grid_tick = _grid_tick
-                step_resident.grid_readback = _grid_readback
-                step_resident.grid_boundary = _grid_boundary
-                step_resident.grid_gravity = _grid_gravity
+            # cross-tick residency hooks (consumed by systems.build_run_fn)
+            step_resident.grid_build = _grid_build
+            step_resident.grid_tick = _grid_tick
+            step_resident.grid_readback = _grid_readback
+            step_resident.grid_boundary = _grid_boundary
+            step_resident.grid_gravity = _grid_gravity
             return step_resident
         return step
 
