@@ -1287,32 +1287,60 @@ def _substep9_kernel(RC, V, W, cn, NR, h, h2, poly6, spiky, visc_lap,
         return pltpu.make_async_copy(d_ref.at[q], slabs.at[q % 5],
                                      sems.at[q % 5])
 
+    def row_occ(r):
+        """Max pre-migration occupancy of padded row r (0 outside)."""
+        b = jnp.int32(0)
+        for t in range(NT):
+            b = jnp.maximum(b, rm_ref[jnp.clip(r, 0, NY2 - 1), t])
+        return jnp.where((r >= 0) & (r < NY2), b, 0)
+
+    def dma_start(q):
+        @pl.when(row_occ(q) > 0)
+        def _():
+            dma(q).start()
+
+    def dma_wait(q):
+        @pl.when(row_occ(q) > 0)
+        def _():
+            dma(q).wait()
+
     def drift(r):
-        """In-place kick-drift of raw row r + packed migration targets."""
+        """In-place kick-drift of raw row r + packed migration targets.
+        Empty rows skip the math (their DMA was skipped too); their encs
+        slot is invalidated so stale slab values never match a target."""
         s = r % 5
-        occ = slabs[s, _FP_OCC]
-        hx = slabs[s, _FP_VX] + half_dt * slabs[s, _FP_HX]
-        hy = slabs[s, _FP_VY] + half_dt * slabs[s, _FP_HY]
-        x1 = jnp.where(occ > 0,
-                       slabs[s, _FP_X] + jnp.clip(hx * sub_dt, -lim, lim),
-                       0.0)
-        y1 = jnp.where(occ > 0,
-                       slabs[s, _FP_Y] + jnp.clip(hy * sub_dt, -lim, lim),
-                       0.0)
-        slabs[s, _FP_X] = x1
-        slabs[s, _FP_Y] = y1
-        slabs[s, _FP_HX] = hx
-        slabs[s, _FP_HY] = hy
-        # interior clip then +-1-of-stored-cell clamp (XLA _migrate walking
-        # semantics — see _migrate_ring_kernel.drift for the rationale)
-        ccol = jax.lax.broadcasted_iota(jnp.int32, (K, NTX), 1)
-        tgx = jnp.clip(jnp.clip(
-            jnp.floor((x1 + eps) / cell).astype(jnp.int32) - gmin,
-            0, nx - 1), ccol - 2, ccol) + 1
-        tgy = jnp.clip(jnp.clip(
-            jnp.floor((y1 + eps) / cell).astype(jnp.int32) - gmin,
-            0, ny - 1), r - 2, r) + 1
-        encs[s] = jnp.where(occ > 0, tgy * _ENC + tgx, -1)
+
+        @pl.when(row_occ(r) > 0)
+        def _():
+            occ = slabs[s, _FP_OCC]
+            hx = slabs[s, _FP_VX] + half_dt * slabs[s, _FP_HX]
+            hy = slabs[s, _FP_VY] + half_dt * slabs[s, _FP_HY]
+            x1 = jnp.where(occ > 0,
+                           slabs[s, _FP_X]
+                           + jnp.clip(hx * sub_dt, -lim, lim),
+                           0.0)
+            y1 = jnp.where(occ > 0,
+                           slabs[s, _FP_Y]
+                           + jnp.clip(hy * sub_dt, -lim, lim),
+                           0.0)
+            slabs[s, _FP_X] = x1
+            slabs[s, _FP_Y] = y1
+            slabs[s, _FP_HX] = hx
+            slabs[s, _FP_HY] = hy
+            # interior clip then +-1-of-stored-cell clamp (XLA _migrate
+            # walking semantics — see _migrate_ring_kernel.drift)
+            ccol = jax.lax.broadcasted_iota(jnp.int32, (K, NTX), 1)
+            tgx = jnp.clip(jnp.clip(
+                jnp.floor((x1 + eps) / cell).astype(jnp.int32) - gmin,
+                0, nx - 1), ccol - 2, ccol) + 1
+            tgy = jnp.clip(jnp.clip(
+                jnp.floor((y1 + eps) / cell).astype(jnp.int32) - gmin,
+                0, ny - 1), r - 2, r) + 1
+            encs[s] = jnp.where(occ > 0, tgy * _ENC + tgx, -1)
+
+        @pl.when(row_occ(r) == 0)
+        def _():
+            encs[s] = jnp.full((K, NTX), -1, jnp.int32)
 
     def ext_win(vals, t):
         """[*, TX+2] halo-extended columns of tile t of a [*, NTX] value.
@@ -1402,8 +1430,6 @@ def _substep9_kernel(RC, V, W, cn, NR, h, h2, poly6, spiky, visc_lap,
                 def _(t=t, q=q):
                     mig_tile(q, t, K)
 
-    kk2 = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
-
     def nbr_bound(row, t):
         """Exact post-migration occupancy bound over row's 3-tile window."""
         s = row % 5
@@ -1413,46 +1439,67 @@ def _substep9_kernel(RC, V, W, cn, NR, h, h2, poly6, spiky, visc_lap,
             b = jnp.maximum(b, cnt_ref[s, jnp.clip(t + 1, 0, NT - 1)])
         return b
 
+    def rho_tile(q, t, KC, KN):
+        """Poly6 density of tile t of migrated row q, center/neighbor slot
+        axes statically sliced to KC/KN (the sweep kernel's measured
+        half-K fast path: full broadcast, no loop overhead, quarter the
+        pair slots when the 3x3 window's occupancy bound allows)."""
+        sq = q % 5
+        ts = slice(t * TX, (t + 1) * TX)
+        cx = migs[sq, _FP_X, :KC, ts][:, None, :]
+        cy = migs[sq, _FP_Y, :KC, ts][:, None, :]
+        kk = jax.lax.broadcasted_iota(jnp.int32, (1, KN, 1), 1)
+        acc = jnp.zeros((KC, TX), f32)
+        for dr in (-1, 0, 1):
+            src = (q + dr) % 5
+            exx = ext_win(migs[src, _FP_X][:KN], t)
+            exy = ext_win(migs[src, _FP_Y][:KN], t)
+            exm = ext_win(migs[src, _FP_M][:KN], t)
+            exo = ext_win(migs[src, _FP_OCC][:KN], t)
+            live = kk < nbr_bound(q + dr, t)
+            for dx in range(3):
+                nbx = exx[:, dx:dx + TX][None]
+                nby = exy[:, dx:dx + TX][None]
+                nbm = exm[:, dx:dx + TX][None]
+                nbo = exo[:, dx:dx + TX][None]
+                ddx = cx - nbx
+                ddy = cy - nby
+                r2 = ddx * ddx + ddy * ddy
+                w = jnp.where(live & (nbo > 0) & (r2 < h2),
+                              poly6 * (h2 - r2) ** 3, 0.0)
+                acc = acc + (nbm * w).sum(1)
+        if KC < K:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros((K - KC, TX), f32)], axis=0)
+        rho_ring[q % 3, :, ts] = acc
+
     def compute_rho(q):
-        """Poly6 density of migrated row q into the rho ring (full [K, K,
-        TX] broadcast — density math is too cheap for a bounded fori)."""
         sq = q % 5
         for t in range(NT):
+            wb = jnp.int32(0)
+            for dr in (-1, 0, 1):
+                wb = jnp.maximum(wb, nbr_bound(q + dr, t))
+
             @pl.when(cnt_ref[sq, t] == 0)
             def _(t=t, sq=sq):
                 rho_ring[q % 3, :, t * TX:(t + 1) * TX] = \
                     jnp.zeros((K, TX), f32)
 
-            @pl.when(cnt_ref[sq, t] > 0)
-            def _(t=t, q=q, sq=sq):
-                cx = migs[sq, _FP_X, :, t * TX:(t + 1) * TX][:, None, :]
-                cy = migs[sq, _FP_Y, :, t * TX:(t + 1) * TX][:, None, :]
-                acc = jnp.zeros((K, TX), f32)
-                for dr in (-1, 0, 1):
-                    src = (q + dr) % 5
-                    exx = ext_win(migs[src, _FP_X], t)
-                    exy = ext_win(migs[src, _FP_Y], t)
-                    exm = ext_win(migs[src, _FP_M], t)
-                    exo = ext_win(migs[src, _FP_OCC], t)
-                    live = kk2 < nbr_bound(q + dr, t)
-                    for dx in range(3):
-                        nbx = exx[:, dx:dx + TX][None]
-                        nby = exy[:, dx:dx + TX][None]
-                        nbm = exm[:, dx:dx + TX][None]
-                        nbo = exo[:, dx:dx + TX][None]
-                        ddx = cx - nbx
-                        ddy = cy - nby
-                        r2 = ddx * ddx + ddy * ddy
-                        w = jnp.where(live & (nbo > 0) & (r2 < h2),
-                                      poly6 * (h2 - r2) ** 3, 0.0)
-                        acc = acc + (nbm * w).sum(1)
-                rho_ring[q % 3, :, t * TX:(t + 1) * TX] = acc
+            if KH < K:
+                @pl.when((cnt_ref[sq, t] > 0) & (wb <= KH))
+                def _(t=t, q=q):
+                    rho_tile(q, t, KH, KH)
+
+                @pl.when((cnt_ref[sq, t] > 0) & (wb > KH))
+                def _(t=t, q=q):
+                    rho_tile(q, t, K, K)
+            else:
+                @pl.when(cnt_ref[sq, t] > 0)
+                def _(t=t, q=q):
+                    rho_tile(q, t, K, K)
 
     def eos(rho):
         return jnp.maximum(stiffness * (rho - rest_density), 0.0)
-
-    k1 = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 0)
-    kc = jax.lax.broadcasted_iota(jnp.int32, (K, CH, 1), 1)
 
     def zero_out(t):
         out1[0, :, :, t * TX:(t + 1) * TX] = jnp.zeros((9, K, TX), f32)
@@ -1462,6 +1509,72 @@ def _substep9_kernel(RC, V, W, cn, NR, h, h2, poly6, spiky, visc_lap,
                 out3[0, t, i] = jnp.float32(0.0)
         out4[0, 0, t] = 0
 
+    def force_acc(q, t, KC):
+        """Pressure+viscosity force of tile t of migrated row q, center
+        slot axis statically sliced to KC (the sweep kernel's fast path:
+        all occupied slots have index < cnt_ref[q, t] <= KC); neighbor
+        slots are occupancy-bounded by the CH-chunk fori. Stages the
+        padded [K, TX] result in sacc[0:2] (free after migration) so the
+        kick/couple/write tail is emitted once, outside the KC branch."""
+        sq = q % 5
+        ts = slice(t * TX, (t + 1) * TX)
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (KC, CH, 1), 0)
+        kc = jax.lax.broadcasted_iota(jnp.int32, (KC, CH, 1), 1)
+        cx = migs[sq, _FP_X, :KC, ts][:, None, :]
+        cy = migs[sq, _FP_Y, :KC, ts][:, None, :]
+        cvx = migs[sq, _FP_VX, :KC, ts][:, None, :]
+        cvy = migs[sq, _FP_VY, :KC, ts][:, None, :]
+        cocc = migs[sq, _FP_OCC, :KC, ts][:, None, :]
+        crho = rho_ring[q % 3, :KC, ts][:, None, :]
+        cterm = eos(crho) / jnp.maximum(crho * crho, 1e-30)
+        fx_a = jnp.zeros((KC, TX), f32)
+        fy_a = jnp.zeros((KC, TX), f32)
+        for dr in (-1, 0, 1):
+            bound = nbr_bound(q + dr, t)
+
+            def body(i, acc, dr=dr, t=t):
+                fxa, fya = acc
+                ch = migs[(q + dr) % 5, :, pl.ds(i * CH, CH), :]
+                rch = rho_ring[(q + dr) % 3, pl.ds(i * CH, CH), :]
+                for dx in range(3):
+                    w_ = lambda v: ext_win(v, t)[:, dx:dx + TX][None]
+                    nbx, nby = w_(ch[_FP_X]), w_(ch[_FP_Y])
+                    nbvx, nbvy = w_(ch[_FP_VX]), w_(ch[_FP_VY])
+                    nbm, nbo = w_(ch[_FP_M]), w_(ch[_FP_OCC])
+                    nbrho = w_(rch)
+                    nbp = eos(nbrho)
+                    ddx = cx - nbx
+                    ddy = cy - nby
+                    r2 = ddx * ddx + ddy * ddy
+                    ok = (cocc * nbo > 0) & (r2 >= min_d2) \
+                        & (r2 < h2) & (nbrho >= min_rho) \
+                        & (crho >= min_rho)
+                    if dr == 0 and dx == 1:
+                        ok = ok & (k1 != i * CH + kc)
+                    rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
+                    term = cterm + nbp / jnp.maximum(
+                        nbrho * nbrho, 1e-30)
+                    f_press = -nbm * term * spiky * (h - rr) ** 2
+                    fx = f_press * ddx / rr
+                    fy = f_press * ddy / rr
+                    f_visc = viscosity * nbm * (
+                        visc_lap * (h - rr)
+                        / jnp.maximum(nbrho, 1e-30))
+                    fx = fx - f_visc * (cvx - nbvx)
+                    fy = fy - f_visc * (cvy - nbvy)
+                    fxa = fxa + jnp.where(ok, fx, 0.0).sum(1)
+                    fya = fya + jnp.where(ok, fy, 0.0).sum(1)
+                return fxa, fya
+
+            nit = (bound + CH - 1) // CH
+            fx_a, fy_a = jax.lax.fori_loop(0, nit, body, (fx_a, fy_a))
+        if KC < K:
+            zpad = jnp.zeros((K - KC, TX), f32)
+            fx_a = jnp.concatenate([fx_a, zpad], axis=0)
+            fy_a = jnp.concatenate([fy_a, zpad], axis=0)
+        sacc[0] = fx_a
+        sacc[1] = fy_a
+
     def force_out(q):
         """Force on migrated row q + second kick; writes the output row."""
         sq = q % 5
@@ -1470,58 +1583,24 @@ def _substep9_kernel(RC, V, W, cn, NR, h, h2, poly6, spiky, visc_lap,
             def _(t=t):
                 zero_out(t)
 
+            if KH < K:
+                @pl.when((cnt_ref[sq, t] > 0) & (cnt_ref[sq, t] <= KH))
+                def _(t=t, q=q):
+                    force_acc(q, t, KH)
+
+                @pl.when(cnt_ref[sq, t] > KH)
+                def _(t=t, q=q):
+                    force_acc(q, t, K)
+            else:
+                @pl.when(cnt_ref[sq, t] > 0)
+                def _(t=t, q=q):
+                    force_acc(q, t, K)
+
             @pl.when(cnt_ref[sq, t] > 0)
             def _(t=t, q=q, sq=sq):
                 ts = slice(t * TX, (t + 1) * TX)
-                cx = migs[sq, _FP_X, :, ts][:, None, :]
-                cy = migs[sq, _FP_Y, :, ts][:, None, :]
-                cvx = migs[sq, _FP_VX, :, ts][:, None, :]
-                cvy = migs[sq, _FP_VY, :, ts][:, None, :]
-                cocc = migs[sq, _FP_OCC, :, ts][:, None, :]
-                crho = rho_ring[q % 3, :, ts][:, None, :]
-                cterm = eos(crho) / jnp.maximum(crho * crho, 1e-30)
-                fx_a = jnp.zeros((K, TX), f32)
-                fy_a = jnp.zeros((K, TX), f32)
-                for dr in (-1, 0, 1):
-                    bound = nbr_bound(q + dr, t)
-
-                    def body(i, acc, dr=dr, t=t):
-                        fxa, fya = acc
-                        ch = migs[(q + dr) % 5, :, pl.ds(i * CH, CH), :]
-                        rch = rho_ring[(q + dr) % 3, pl.ds(i * CH, CH), :]
-                        for dx in range(3):
-                            w_ = lambda v: ext_win(v, t)[:, dx:dx + TX][None]
-                            nbx, nby = w_(ch[_FP_X]), w_(ch[_FP_Y])
-                            nbvx, nbvy = w_(ch[_FP_VX]), w_(ch[_FP_VY])
-                            nbm, nbo = w_(ch[_FP_M]), w_(ch[_FP_OCC])
-                            nbrho = w_(rch)
-                            nbp = eos(nbrho)
-                            ddx = cx - nbx
-                            ddy = cy - nby
-                            r2 = ddx * ddx + ddy * ddy
-                            ok = (cocc * nbo > 0) & (r2 >= min_d2) \
-                                & (r2 < h2) & (nbrho >= min_rho) \
-                                & (crho >= min_rho)
-                            if dr == 0 and dx == 1:
-                                ok = ok & (k1 != i * CH + kc)
-                            rr = jnp.sqrt(jnp.maximum(r2, 1e-30))
-                            term = cterm + nbp / jnp.maximum(
-                                nbrho * nbrho, 1e-30)
-                            f_press = -nbm * term * spiky * (h - rr) ** 2
-                            fx = f_press * ddx / rr
-                            fy = f_press * ddy / rr
-                            f_visc = viscosity * nbm * (
-                                visc_lap * (h - rr)
-                                / jnp.maximum(nbrho, 1e-30))
-                            fx = fx - f_visc * (cvx - nbvx)
-                            fy = fy - f_visc * (cvy - nbvy)
-                            fxa = fxa + jnp.where(ok, fx, 0.0).sum(1)
-                            fya = fya + jnp.where(ok, fy, 0.0).sum(1)
-                        return fxa, fya
-
-                    nit = (bound + CH - 1) // CH
-                    fx_a, fy_a = jax.lax.fori_loop(0, nit, body,
-                                                   (fx_a, fy_a))
+                fx_a = sacc[0]
+                fy_a = sacc[1]
                 # second kick (metal:428-441), then coupling / output row
                 x1 = migs[sq, _FP_X, :, ts]
                 y1 = migs[sq, _FP_Y, :, ts]
@@ -1577,13 +1656,13 @@ def _substep9_kernel(RC, V, W, cn, NR, h, h2, poly6, spiky, visc_lap,
     # ---- schedule -------------------------------------------------------
     @pl.when(p == 0)
     def _():                            # warmup
-        dma(0).start()
-        dma(1).start()
-        dma(2).start()
-        dma(3).start()
-        dma(0).wait()
-        dma(1).wait()
-        dma(2).wait()
+        dma_start(0)
+        dma_start(1)
+        dma_start(2)
+        dma_start(3)
+        dma_wait(0)
+        dma_wait(1)
+        dma_wait(2)
         drift(0)
         drift(1)
         drift(2)
@@ -1593,12 +1672,12 @@ def _substep9_kernel(RC, V, W, cn, NR, h, h2, poly6, spiky, visc_lap,
 
     @pl.when(p + 3 < NY2)
     def _():
-        dma(p + 3).wait()               # p==0: row 3, started in warmup
+        dma_wait(p + 3)                 # p==0: row 3, started in warmup
         drift(p + 3)
 
     @pl.when(p + 4 < NY2)               # p's start pairs with p+1's wait
     def _():
-        dma(p + 4).start()
+        dma_start(p + 4)
 
     @pl.when(p + 2 <= ny)
     def _():
