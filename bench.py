@@ -64,15 +64,18 @@ def _emit(metric, dev_tps, cpu_tps, baseline, extra=None, fallback=None):
     print(json.dumps(out), flush=True)
 
 
-def _time_device(scene, ticks, block, warm_blocks=1):
+def _time_device(scene, ticks, block, warm_blocks=1, settle_ticks=0):
     """ticks/s of the full tick pipeline via build_run_fn; hard-syncs with
-    np.asarray (block_until_ready can return early through the tunnel)."""
+    np.asarray (block_until_ready can return early through the tunnel).
+    ``settle_ticks`` advances the sim before the timed window so coupled
+    configs are measured at representative contact density (matching the
+    settled native baseline), not at the pre-contact t=0 geometry."""
     import numpy as np
     from lpe_tpu.systems import build_run_fn
     run = build_run_fn(scene.spec, scene.cfg, ticks=block, donate=False)
     state = run(scene.state)                    # compile + first block
     _ = np.asarray(state.bodies.pos)
-    for _i in range(warm_blocks - 1):
+    for _i in range(warm_blocks - 1 + settle_ticks // block):
         state = run(state)
     _ = np.asarray(state.bodies.pos)
     blocks = max(1, ticks // block)
@@ -153,7 +156,7 @@ def bench_galaxy(n_bodies, oracle_ticks, fallback):
           "native_cpp_bh", {"n_bodies": n_bodies}, fallback)
 
 
-def _coupled_baseline(sc, oracle_ticks):
+def _coupled_baseline(sc, oracle_ticks, settle_ticks=0):
     import numpy as np
     from lpe_tpu.oracle.native import NativeCoupledOracle
     b = sc.state.bodies
@@ -172,44 +175,57 @@ def _coupled_baseline(sc, oracle_ticks):
         num_sub_steps=fc.num_sub_steps, **_bound_kw(sc))
     gpos = np.asarray(b.pos, np.float64)[gas]
     gvel = np.asarray(b.vel, np.float64)[gas]
+    stat = (fpos, fvel, fmass, A["pos"], A["vel"], A["ang"], A["om"])
+    if settle_ticks:
+        # time at contact density: advance the native engine first, then
+        # measure from the settled state (mirrors _time_device settle)
+        out = o.run(*stat, A["mass"], A["inertia"], A["verts"], A["nv"],
+                    A["rad"], A["circ"], A["isw"], gpos, gvel, settle_ticks)
+        fpos, fvel, rpos, rvel, rang, rom, gpos, gvel = out
+        stat = (fpos, fvel, fmass, rpos, rvel, rang, rom)
     t0 = time.perf_counter()
-    o.run(fpos, fvel, fmass, A["pos"], A["vel"], A["ang"], A["om"],
-          A["mass"], A["inertia"], A["verts"], A["nv"], A["rad"],
+    o.run(*stat, A["mass"], A["inertia"], A["verts"], A["nv"], A["rad"],
           A["circ"], A["isw"], gpos, gvel, oracle_ticks)
     return oracle_ticks / (time.perf_counter() - t0)
 
 
-def bench_coupled(n_fluid, n_rigid, oracle_ticks, fallback):
+def bench_coupled(n_fluid, n_rigid, oracle_ticks, fallback, settle=0):
     from lpe_tpu.scenarios.bench_scenes import build_coupled_dam
     sc = build_coupled_dam(n_fluid, n_rigid, seed=0)
-    dev_tps, _ = _time_device(sc, TICKS, BLOCK)
-    cpu_tps = _coupled_baseline(sc, oracle_ticks)
+    dev_tps, _ = _time_device(sc, TICKS, BLOCK, settle_ticks=settle)
+    cpu_tps = _coupled_baseline(sc, oracle_ticks, settle_ticks=settle)
     _emit(f"coupled_dam_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
           cpu_tps, "native_cpp_coupled",
-          {"n_fluid": n_fluid, "n_rigid": n_rigid}, fallback)
+          {"n_fluid": n_fluid, "n_rigid": n_rigid,
+           "settle_ticks": settle}, fallback)
 
 
-def bench_north_star(n_fluid, n_rigid, oracle_ticks, fallback):
+def bench_north_star(n_fluid, n_rigid, oracle_ticks, fallback, settle=0):
     """THE BASELINE.md north-star workload: 100k SPH + 10k rigid in one
-    scene (the 100x/v5e-8 target is defined on this config)."""
+    scene (the 100x/v5e-8 target is defined on this config). Both sides
+    settle before timing so the numbers reflect coupled physics at contact
+    density, not the pre-contact drop."""
     from lpe_tpu.scenarios.bench_scenes import build_north_star
     sc = build_north_star(n_fluid, n_rigid, seed=0)
-    dev_tps, _ = _time_device(sc, max(10, TICKS // 2), BLOCK)
-    cpu_tps = _coupled_baseline(sc, oracle_ticks)
+    dev_tps, _ = _time_device(sc, max(10, TICKS // 2), BLOCK,
+                              settle_ticks=settle)
+    cpu_tps = _coupled_baseline(sc, oracle_ticks, settle_ticks=settle)
     _emit(f"north_star_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
           cpu_tps, "native_cpp_coupled",
-          {"n_fluid": n_fluid, "n_rigid": n_rigid}, fallback)
+          {"n_fluid": n_fluid, "n_rigid": n_rigid,
+           "settle_ticks": settle}, fallback)
 
 
-def bench_highlight(n_fluid, n_rigid, n_gas, oracle_ticks, fallback):
+def bench_highlight(n_fluid, n_rigid, n_gas, oracle_ticks, fallback,
+                    settle=0):
     from lpe_tpu.scenarios.bench_scenes import build_highlight_reel
     sc = build_highlight_reel(n_fluid, n_rigid, n_gas, seed=0)
-    dev_tps, _ = _time_device(sc, TICKS, BLOCK)
-    cpu_tps = _coupled_baseline(sc, oracle_ticks)
+    dev_tps, _ = _time_device(sc, TICKS, BLOCK, settle_ticks=settle)
+    cpu_tps = _coupled_baseline(sc, oracle_ticks, settle_ticks=settle)
     _emit(f"highlight_reel_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
           cpu_tps, "native_cpp_coupled",
-          {"n_fluid": n_fluid, "n_rigid": n_rigid, "n_gas": n_gas},
-          fallback)
+          {"n_fluid": n_fluid, "n_rigid": n_rigid, "n_gas": n_gas,
+           "settle_ticks": settle}, fallback)
 
 
 def bench_dam(n_particles, oracle_ticks, fallback):
@@ -255,6 +271,9 @@ def main():
                  hl_g=200, ns_f=100000, ns_r=10000)
     oticks = dict(dam=ORACLE_TICKS, rigid=max(2, ORACLE_TICKS),
                   galaxy=1, coupled=1, highlight=2, north=1)
+    settle = dict(coupled=60, highlight=60, north=120)
+    if "BENCH_SETTLE" in os.environ:
+        settle = {k: int(os.environ["BENCH_SETTLE"]) for k in settle}
     if not _accelerator_reachable():
         # degraded mode: finish with a CPU measurement rather than hang
         fallback = "accelerator unreachable; CPU backend, reduced workload"
@@ -262,6 +281,7 @@ def main():
                      coupled_r=20, hl_f=3000, hl_r=12, hl_g=50,
                      ns_f=3000, ns_r=300)
         TICKS = min(TICKS, 10)
+        settle = {k: 0 for k in settle}
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax  # noqa: F401  (device selection settled above)
@@ -273,12 +293,15 @@ def main():
                                        fallback),
         "coupled": lambda: bench_coupled(sizes["coupled_f"],
                                          sizes["coupled_r"],
-                                         oticks["coupled"], fallback),
+                                         oticks["coupled"], fallback,
+                                         settle=settle["coupled"]),
         "highlight": lambda: bench_highlight(sizes["hl_f"], sizes["hl_r"],
                                              sizes["hl_g"],
-                                             oticks["highlight"], fallback),
+                                             oticks["highlight"], fallback,
+                                             settle=settle["highlight"]),
         "north": lambda: bench_north_star(sizes["ns_f"], sizes["ns_r"],
-                                          oticks["north"], fallback),
+                                          oticks["north"], fallback,
+                                          settle=settle["north"]),
         "dam": lambda: bench_dam(sizes["dam"], oticks["dam"], fallback),
     }
     # headline (dam) must be LAST: the driver records the tail line

@@ -332,15 +332,6 @@ class FluidConfig:
     # uses the split kernels (force at band edges needs the neighbor
     # band's rho, which is exchanged between the kernels).
     pair_backend: str = "auto"
-    # Sub-step engine for the stacked resident path: "fused" = the
-    # whole-sub-step kernel (ops/pallas_sph.make_substep9 — drift, cell
-    # migration, density, force, kick AND the rigid coupling solve in ONE
-    # grid pass; one HBM read + one write of the row stack per sub-step,
-    # zero XLA glue between sub-steps); "chain" = the 3-kernel chain (ring
-    # migrate -> pair sweep -> coupling9). Physics identical up to float
-    # reassociation (tests/test_sph.py::test_substep9_matches_chain).
-    # LPE_SPH_SUBSTEP env overrides for A/B runs.
-    substep_kernel: str = "chain"
     # Grid residency across sub-steps: "auto" = on for TPU, off elsewhere;
     # "on"/"off" force it. When on, particle state lives in the dense
     # [cells, K] grid tensor for the whole tick and per-sub-step cell
@@ -364,11 +355,21 @@ class FluidConfig:
     # sums reassociate: results match per-tick residency to float
     # tolerance, not bitwise.
     cross_tick_residency: str = "auto"
-    # Per-row candidate capacity of the fused coupling kernel (TPU): each
-    # grid row couples against at most this many rigids (those whose AABB
-    # spans the row; lowest-id surplus kept). Size to the scene's max rigid
-    # density per horizontal band.
-    coupling_candidates_per_row: int = 16
+    # Per-CELL rasterized coupling candidates (ops/pallas_sph.py coupling
+    # section; sph.coupling_dims). Each grid cell couples against at most
+    # ``coupling_slots_per_cell`` rigids whose slack-widened AABB covers
+    # it (0 = auto: 3x the scene's initial max coverage, in [8, 32]) — the
+    # capacity scales with LOCAL rigid density, so any per-row/scene rigid
+    # count works. ``coupling_window_rows`` bounds how many small rigids
+    # may overlap one padded grid row's widened strip in the field build
+    # (0 = auto: 4x the initial max, >= 256). Saturation of either cap is
+    # counted (build `overflow` diagnostic; core.telemetry).
+    # ``coupling_raster_slack_cells`` widens the rasterized AABBs so
+    # particles mis-binned by up to that many cells (post-clamp "walking"
+    # migration, large push-outs) still see their rigids.
+    coupling_slots_per_cell: int = 0
+    coupling_window_rows: int = 0
+    coupling_raster_slack_cells: float = 1.0
     # Multi-chip decomposition (only read by parallel/sharded.py when a mesh
     # with >1 devices is used): "halo" = spatial row-band sharding of the
     # dense grid with one-row ppermute halo exchanges per sub-step over ICI

@@ -244,4 +244,6 @@ class NativeCoupledOracle:
             p["relax"], p["max_correction"], p["drag"], ticks)
         if rc != 0:
             raise RuntimeError(f"lpe_coupled_run failed rc={rc}")
-        return fpos, fvel, rpos, rvel
+        # full mutated state so callers can settle, then time from the
+        # settled configuration (bench.py times at contact density)
+        return fpos, fvel, rpos, rvel, rangle, romega, gpos, gvel

@@ -14,6 +14,7 @@ arrays, so no runtime compaction or dynamic shapes are ever needed.
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass, field
 
 import jax.numpy as jnp
@@ -77,6 +78,21 @@ class SceneSpec:
     # every "big" solid is an infinite-mass boundary wall: lets the grid
     # rigid pipeline treat them as frozen contact partners
     solid_big_all_boundary: bool = True
+    # max non-big solids per broadphase cell at scene BUILD time: the grid
+    # rigid pipeline auto-sizes its per-cell slot/row capacities from real
+    # scene density instead of a worst-case constant (a 13 m universe with
+    # 0.6 bodies/cell was paying 48-slot selects everywhere). Runtime
+    # saturation is observable via core.telemetry.capacity_report.
+    solid_max_cell_occ0: int = 0
+    # initial-density seeds for the fluid<->rigid coupling raster
+    # (systems/fluid/sph.py coupling_dims): max rigids covering one fluid
+    # grid cell / one padded grid row (slack-widened AABBs, non-big
+    # non-liquid entities), and the max bounding DIAMETER of those
+    # entities (static: rotation-invariant) bounding the sorted-window
+    # span of the field build
+    coupling_max_cell_cover0: int = 0
+    coupling_max_row_cover0: int = 0
+    coupling_max_diam: float = 0.0
     # static max polygon vertex count over the non-liquid entities: the
     # fluid-coupling kernels size their vertex loops to this instead of
     # MAX_POLY_VERTS (walls are 4-gons; a 16-wide vert axis would 4x the
@@ -223,6 +239,7 @@ class SceneBuilder:
         # the largest non-big AABB (see systems/rigid/pipeline.py)
         cell_size, big_idx = 0.0, ()
         big_all_bnd = True
+        occ0 = 0
         if ns:
             rb = np.where(
                 shape_kind[:ns] == int(ShapeKind.CIRCLE), radius[:ns],
@@ -238,6 +255,65 @@ class SceneBuilder:
             big_all_bnd = bool(
                 (boundary[big] & (mass[big] > 1e29)).all()) if big.size \
                 else True
+            # initial max per-cell occupancy at the grid pipeline's cell
+            # edge (cell_size + persistence slack, the same geometry as
+            # grid_pipeline.grid_dims) — the density seed for capacity
+            # auto-sizing
+            if nonbig.size:
+                cb = cell_size + float(cfg.rigid.broadphase.persist_slack_m)
+                gx = np.floor(pos[nonbig, 0] / cb).astype(np.int64)
+                gy = np.floor(pos[nonbig, 1] / cb).astype(np.int64)
+                _, cnt = np.unique(gy << 32 | (gx & 0xFFFFFFFF),
+                                   return_counts=True)
+                occ0 = int(cnt.max())
+        # coupling-raster density seeds (non-big non-liquid entities vs the
+        # FLUID grid; see systems/fluid/sph.py coupling_dims)
+        cpl_cell0 = cpl_row0 = 0
+        cpl_diam = 0.0
+        nrig = ns + ng
+        if nrig and nl:
+            fcell = (cfg.fluid.grid.smoothing_length
+                     * cfg.fluid.grid.cell_size_factor)
+            slackm = float(cfg.fluid.coupling_raster_slack_cells) * fcell
+            idx = np.setdiff1d(np.arange(nrig), np.asarray(big_idx, int))
+            if idx.size:
+                ca = np.cos(angle[idx])[:, None]
+                sa = np.sin(angle[idx])[:, None]
+                vx_ = verts[idx, :, 0]
+                vy_ = verts[idx, :, 1]
+                wx = pos[idx, None, 0] + vx_ * ca - vy_ * sa
+                wy = pos[idx, None, 1] + vx_ * sa + vy_ * ca
+                vm = np.arange(V)[None, :] < nverts[idx, None]
+                big_f = 1e30
+                circ = shape_kind[idx] == int(ShapeKind.CIRCLE)
+                r = radius[idx]
+                mnx = np.where(circ, pos[idx, 0] - r,
+                               np.where(vm, wx, big_f).min(1)) - slackm
+                mxx = np.where(circ, pos[idx, 0] + r,
+                               np.where(vm, wx, -big_f).max(1)) + slackm
+                mny = np.where(circ, pos[idx, 1] - r,
+                               np.where(vm, wy, big_f).min(1)) - slackm
+                mxy = np.where(circ, pos[idx, 1] + r,
+                               np.where(vm, wy, -big_f).max(1)) + slackm
+                rows = int(math.ceil(cfg.shared.universe_size_m / fcell)) + 6
+                cy0 = np.clip(np.floor(mny / fcell).astype(int) + 3,
+                              0, rows - 1)
+                cy1 = np.clip(np.floor(mxy / fcell).astype(int) + 3,
+                              0, rows - 1)
+                cx0 = np.clip(np.floor(mnx / fcell).astype(int) + 3,
+                              0, rows - 1)
+                cx1 = np.clip(np.floor(mxx / fcell).astype(int) + 3,
+                              0, rows - 1)
+                cov = np.zeros((rows, rows), np.int64)
+                rcov = np.zeros((rows,), np.int64)
+                for a0, a1, b0, b1 in zip(cy0, cy1, cx0, cx1):
+                    cov[a0:a1 + 1, b0:b1 + 1] += 1
+                    rcov[a0:a1 + 1] += 1
+                cpl_cell0 = int(cov.max())
+                cpl_row0 = int(rcov.max())
+                rb_c = np.where(circ, r, np.sqrt(
+                    np.where(vm, vx_ ** 2 + vy_ ** 2, 0.0)).max(1))
+                cpl_diam = float(2.0 * rb_c.max()) if rb_c.size else 0.0
         spec = SceneSpec(
             capacity=cap, n_entities=n, n_solid=ns, n_gas=ng, n_liquid=nl,
             solid_start=0, gas_start=ns, liquid_start=ns + ng,
@@ -245,6 +321,10 @@ class SceneBuilder:
             max_mass_overall=float(mass[:n].max()) if n else 0.0,
             solid_cell_size=cell_size, solid_big_idx=big_idx,
             solid_big_all_boundary=big_all_bnd,
+            solid_max_cell_occ0=occ0,
+            coupling_max_cell_cover0=cpl_cell0,
+            coupling_max_row_cover0=cpl_row0,
+            coupling_max_diam=cpl_diam,
             max_rigid_verts=max(3, int(nverts[:ns + ng].max(initial=0))),
             max_solid_verts=max(
                 3, int(nverts[:ns].max(initial=0)),

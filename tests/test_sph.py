@@ -142,13 +142,11 @@ def _blob_scene(n=60, universe=1.5, seed=0, vmax=0.3, walls=False,
     return b.finalize(cfg)
 
 
-def _run_fluid(sc, residency, ticks=2, pair_backend="xla",
-               substep_kernel="chain"):
+def _run_fluid(sc, residency, ticks=2, pair_backend="xla"):
     import dataclasses
     from lpe_tpu.systems.fluid import make_fluid
     fl = dataclasses.replace(sc.cfg.fluid, residency=residency,
-                             pair_backend=pair_backend,
-                             substep_kernel=substep_kernel)
+                             pair_backend=pair_backend)
     step = make_fluid(sc.spec, sc.cfg.replace(fluid=fl))
     s = sc.state
     for _ in range(ticks):
@@ -256,57 +254,83 @@ def test_pallas_sweep_matches_xla_resident():
                        np.asarray(s_p.bodies.vel)[liq], atol=3e-3)
 
 
-def test_substep9_matches_xla_resident():
-    """The whole-sub-step kernel (ops/pallas_sph.py make_substep9:
-    drift+migrate+density+force+kick+COUPLE in one pass, interpret mode on
-    CPU) against the XLA resident path — the coupling solve runs INSIDE
-    the kernel (walls=True exercises it and the rigid partials output)."""
-    sc = _blob_scene(n=50, vmax=0.4, walls=True, seed=5)
+def _dense_band_scene(n_fluid=60, n_rigid=120, seed=9):
+    """A rigid-DENSE horizontal band under a fluid blob: ~n_rigid small
+    polygons packed into a couple of grid rows (far beyond any per-row
+    candidate cap) with fluid particles overlapping them. Regression
+    geometry for VERDICT r3 missing #1 — the old per-row candidate list
+    silently dropped all but 16 rigids per row; the per-cell rasterized
+    field must match the uncapped XLA coupling path at ANY row density."""
+    import dataclasses
+    from lpe_tpu.core.config import (FluidConfig, ScenarioSystemConfig,
+                                     SharedSystemConfig)
+    from lpe_tpu.core.constants import Phase, ShapeKind
+    from lpe_tpu.math.polygon import (build_regular_polygon,
+                                      calculate_polygon_inertia)
+    from lpe_tpu.scene import SceneBuilder
+    universe = 3.0
+    cfg = ScenarioSystemConfig(
+        shared=SharedSystemConfig(universe_size_m=universe),
+        fluid=FluidConfig())
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder("denseband")
+    # tightly packed rigid band across the full width at y ~ 0.6
+    nc = n_rigid // 2
+    for row in range(2):
+        for col in range(nc):
+            r = 0.011
+            verts = build_regular_polygon(3 + (col + row) % 4, r)
+            m = 0.5
+            b.add(pos=(0.05 + (col + 0.5) * (universe - 0.1) / nc
+                       + float(rng.uniform(-0.002, 0.002)),
+                       0.58 + 0.026 * row),
+                  mass=m, phase=int(Phase.SOLID),
+                  shape_kind=int(ShapeKind.POLYGON), radius=r, verts=verts,
+                  inertia=calculate_polygon_inertia(verts, m))
+    for _ in range(n_fluid):
+        b.add(pos=(float(rng.uniform(0.1, universe - 0.1)),
+                   float(rng.uniform(0.55, 0.67))),
+              vel=(float(rng.uniform(-0.2, 0.2)),
+                   float(rng.uniform(-0.3, 0.0))),
+              mass=0.005, phase=int(Phase.LIQUID), radius=0.02)
+    return b.finalize(cfg)
+
+
+def test_coupling_dense_band_matches_xla_uncapped():
+    """Per-cell rasterized coupling vs the uncapped XLA dense path on a
+    band whose ROW density (~60 rigids/row) far exceeds the old per-row
+    cap of 16 — every interaction must survive."""
+    sc = _dense_band_scene()
+    assert sc.spec.coupling_max_row_cover0 > 32   # the stress is real
     s_x = _run_fluid(sc, "on", ticks=2, pair_backend="xla")
-    s_f = _run_fluid(sc, "on", ticks=2, pair_backend="sweep",
-                     substep_kernel="fused")
+    s_p = _run_fluid(sc, "on", ticks=2, pair_backend="pallas")
     liq = sc.spec.liquid_slice
     assert np.allclose(np.asarray(s_x.bodies.pos)[liq],
-                       np.asarray(s_f.bodies.pos)[liq], atol=1e-5)
-    assert np.allclose(np.asarray(s_x.bodies.density)[liq],
-                       np.asarray(s_f.bodies.density)[liq], rtol=1e-4)
+                       np.asarray(s_p.bodies.pos)[liq], atol=1e-5)
     assert np.allclose(np.asarray(s_x.bodies.vel)[liq],
-                       np.asarray(s_f.bodies.vel)[liq], atol=1e-3)
-    # rigid force writeback flows through the in-kernel partials
-    assert np.allclose(np.asarray(s_x.bodies.vel)[:4],
-                       np.asarray(s_f.bodies.vel)[:4], atol=1e-5)
+                       np.asarray(s_p.bodies.vel)[liq], atol=1e-4)
+    # every rigid's force writeback must match (none dropped)
+    ns = sc.spec.n_solid
+    assert np.allclose(np.asarray(s_x.bodies.vel)[:ns],
+                       np.asarray(s_p.bodies.vel)[:ns], atol=1e-5)
+    assert np.allclose(np.asarray(s_x.bodies.omega)[:ns],
+                       np.asarray(s_p.bodies.omega)[:ns], atol=1e-5)
 
 
-def test_substep9_matches_chain_stacked():
-    """make_substep9 against the 3-kernel stacked chain (ring migrate ->
-    pair sweep -> coupling9): same candidate order and drop policy, but
-    the two kernels' neighbor-sum loop nests reassociate differently and
-    the stiff EOS amplifies the ~1e-8 density difference through 20
-    sub-steps — same velocity tolerance as the XLA comparison."""
-    sc = _blob_scene(n=50, vmax=0.4, walls=True, seed=5)
-    s_c = _run_fluid(sc, "on", ticks=2, pair_backend="sweep",
-                     substep_kernel="chain")
-    s_f = _run_fluid(sc, "on", ticks=2, pair_backend="sweep",
-                     substep_kernel="fused")
-    liq = sc.spec.liquid_slice
-    assert np.allclose(np.asarray(s_c.bodies.pos)[liq],
-                       np.asarray(s_f.bodies.pos)[liq], atol=1e-6)
-    assert np.allclose(np.asarray(s_c.bodies.vel)[liq],
-                       np.asarray(s_f.bodies.vel)[liq], atol=1e-3)
-
-
-def test_substep9_matches_xla_no_rigids():
-    """make_substep9, rigid-free scene (the NR == 0 build: no coupling
-    inputs, no partials output)."""
-    sc = _blob_scene(n=40, vmax=0.5, seed=11)
-    s_x = _run_fluid(sc, "on", ticks=2, pair_backend="xla")
-    s_f = _run_fluid(sc, "on", ticks=2, pair_backend="sweep",
-                     substep_kernel="fused")
-    liq = sc.spec.liquid_slice
-    assert np.allclose(np.asarray(s_x.bodies.pos)[liq],
-                       np.asarray(s_f.bodies.pos)[liq], atol=1e-6)
-    assert np.allclose(np.asarray(s_x.bodies.vel)[liq],
-                       np.asarray(s_f.bodies.vel)[liq], atol=1e-5)
+def test_coupling_slot_saturation_is_detected():
+    """Each silent cap must be observable: shrink the per-cell slot
+    capacity below the dense band's real coverage and the telemetry must
+    report drops (and the well-sized default must report ~none)."""
+    import dataclasses
+    from lpe_tpu.core.telemetry import capacity_report
+    sc = _dense_band_scene()
+    rep = capacity_report(sc.state, sc.spec, sc.cfg)
+    assert rep["coupling_cell_slots"]["dropped"] == 0
+    tiny = sc.cfg.replace(fluid=dataclasses.replace(
+        sc.cfg.fluid, coupling_slots_per_cell=8,
+        coupling_raster_slack_cells=2.0))
+    rep2 = capacity_report(sc.state, sc.spec, tiny)
+    assert rep2["coupling_cell_slots"]["dropped"] > 0
 
 
 def test_pallas_coupling_kernel_matches_xla():
