@@ -157,11 +157,15 @@ class ContactSolverConfig:
     # many segments applied sequentially per iteration — between plain
     # Jacobi (1) and the reference's Gauss-Seidel (rows) at the same
     # indexed-op volume per iteration. See solver.solve_velocity.
-    # Default 1: staging converges friction much closer to the true LCP
-    # solution (measured 3.5x less tall-stack penetration at 4), but the
-    # stickier contacts jam the Galton funnel that the validated Jacobi
-    # behavior flows through — scenes that want stacking accuracy opt in
-    # (e.g. the rigid-stacks bench scene).
+    # Default 1, and this IS the benchmarked configuration: staging
+    # converges friction much closer to the true LCP solution (measured
+    # 3.5x less tall-stack penetration at 4), but the stickier contacts
+    # jam the Galton funnel that the validated Jacobi behavior flows
+    # through, so 1 ships. Only the LIST pipeline reads this knob; the
+    # grid pipeline the big bench scenes auto-select is always
+    # class-staged (grid_pipeline.py vel_body: 6 sequential class passes
+    # per iteration over spatially-disjoint rows), which delivers the
+    # staging convergence there without any per-scene opt-in.
     stages: int = 1
     # Segment count for the FRICTION rows specifically. 0 = follow
     # ``stages``. 1 under stages>1 runs the normal rows staged (fast stack

@@ -37,10 +37,19 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def state_shardings(mesh: Mesh, state: SimState):
-    """Per-leaf shardings: leading entity axis sharded, scalars replicated."""
+    """Per-leaf shardings: leading entity axis sharded, scalars replicated.
+
+    The rigid grid pipeline's cell-resident state (``rg_*``: candidate
+    rows [NC, R], slot grids [NC*KB, ...]) is sharded on its leading cell
+    axis — grid_dims pads the row count to a multiple of 8, so the flat
+    cell axis splits into whole y-row bands and the pipeline's ±1-cell
+    ``jnp.roll`` neighbor accesses become boundary-row collective-permutes
+    under GSPMD instead of gathers (scripts/multichip_scaling.py measures
+    the resulting per-tick collective bytes)."""
     entity_n = state.bodies.pos.shape[0]
     sharded = NamedSharding(mesh, P(AXIS))
     replicated = NamedSharding(mesh, P())
+    n = mesh.devices.size
 
     def spec(leaf):
         if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == entity_n:
@@ -48,8 +57,17 @@ def state_shardings(mesh: Mesh, state: SimState):
         return replicated
 
     bodies = jax.tree.map(spec, state.bodies)
-    scalars = {f.name: replicated for f in dataclasses.fields(SimState)
-               if f.name != "bodies"}
+    scalars = {}
+    for f in dataclasses.fields(SimState):
+        if f.name == "bodies":
+            continue
+        leaf = getattr(state, f.name)
+        if (f.name.startswith("rg_") and f.name != "rg_flat"
+                and getattr(leaf, "ndim", 0) >= 1
+                and leaf.shape[0] % max(1, n) == 0):
+            scalars[f.name] = sharded
+        else:
+            scalars[f.name] = replicated
     return SimState(bodies=bodies, **scalars)
 
 

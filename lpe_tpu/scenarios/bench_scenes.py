@@ -70,16 +70,18 @@ def build_rigid_stacks(n_bodies: int = 1000, seed: int = 0,
     import jax.numpy as jnp
     from .random_polygons import RandomPolygonsConfig, make_config
     from ..math.polygon import build_random_convex_polygon
-    from ..core.config import ContactSolverConfig
     ec = RandomPolygonsConfig(particle_count=n_bodies, small_shape_min=0.05,
                               small_shape_max=0.12)
+    # No solver override: benchmarked config == shipped defaults. At bench
+    # size the grid pipeline auto-selects and its solver is ALWAYS
+    # class-staged (grid_pipeline.py vel_body's sequential class passes);
+    # ContactSolverConfig.stages only steers the list pipeline, where the
+    # default (1) is the validated behavior — see the config docstring.
     cfg = make_config(ec).replace(rigid=RigidBodyConfig(
         broadphase=BroadphaseConfig(max_pairs=max(1024, 4 * n_bodies),
                                     # settling stacks rebuild rarely: skip
                                     # the grid build on quiet ticks
-                                    persist_slack_m=0.04),
-        # staged sweeps measurably tighten stacks (see ContactSolverConfig)
-        solver=ContactSolverConfig(stages=4)))
+                                    persist_slack_m=0.04)))
     size = cfg.shared.universe_size_m
     rng = np.random.default_rng(seed)
     b = SceneBuilder(f"RIGID_STACKS_{n_bodies}")
@@ -116,7 +118,6 @@ def build_north_star(n_fluid: int = 100000, n_rigid: int = 10000,
     would need ~3x the whole tank's area); masses scale with body area so
     the fluid can actually plough them."""
     import jax.numpy as jnp
-    from ..core.config import ContactSolverConfig
     from ..math.polygon import build_random_convex_polygon
     base = build_dam_break(n_fluid, seed=seed, dtype=dtype)
     scale = math.sqrt(n_fluid / 20000.0)
@@ -150,10 +151,11 @@ def build_north_star(n_fluid: int = 100000, n_rigid: int = 10000,
                   color=tuple(int(v) for v in rng.integers(50, 201, 3)))
             count += 1
         row += 1
+    # benchmarked config == shipped defaults (the grid pipeline's solver is
+    # always class-staged; see build_rigid_stacks)
     cfg = base.cfg.replace(rigid=RigidBodyConfig(
         broadphase=BroadphaseConfig(max_pairs=max(1024, 4 * n_rigid),
-                                    persist_slack_m=0.04),
-        solver=ContactSolverConfig(stages=4)))
+                                    persist_slack_m=0.04)))
     # fluid column (same layout as the dam break)
     x_min, x_max = 0.16 * scale, size * 0.35
     y_min, y_max = size * 0.2, size - 0.16 * scale

@@ -83,6 +83,12 @@ def grid_dims(spec: SceneSpec, cfg: ScenarioSystemConfig):
         cellb *= 2.0
         occ0 *= 4          # each doubling quadruples expected cell occupancy
         nbx = max(1, int(math.ceil(size / cellb))) + 2
+    # round the row count up to a multiple of 8: the flat [NC] cell axis
+    # then splits into whole y-row bands on any 1/2/4/8-device mesh
+    # (parallel/sharded.py shards the rg_* state on it), and power-of-two
+    # row counts tile better everywhere. Extra rows are empty border cells
+    # (positions clip to the original extent) — physics unchanged.
+    nbx = -(-nbx // 8) * 8
     # Per-cell slot capacity. Auto-sizing is DENSITY-DRIVEN: 3x the scene's
     # initial max per-cell count (headroom for piling under gravity/fluid
     # ploughing), floored at 8 and never above the old worst-case constant.

@@ -30,6 +30,8 @@ import json
 import re
 import sys
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 jax.config.update("jax_platforms", "cpu")  # noqa: E402  (axon tunnel-proof)
 
@@ -78,12 +80,21 @@ def collective_stats(hlo_text: str) -> dict:
     return out
 
 
-def measure(nf: int, nr: int, ndev: int, ticks_per_block: int = 1) -> dict:
+def _build(workload: str, nf: int, nr: int):
+    from lpe_tpu.scenarios import bench_scenes as bs
+    if workload == "rigid":
+        return bs.build_rigid_stacks(nr, seed=0)
+    if workload == "dam":
+        return bs.build_dam_break(nf, seed=0)
+    return bs.build_north_star(nf, nr, seed=0)
+
+
+def measure(nf: int, nr: int, ndev: int, ticks_per_block: int = 1,
+            workload: str = "north") -> dict:
     from lpe_tpu.parallel.sharded import build_sharded_run, make_mesh, \
         shard_state
-    from lpe_tpu.scenarios.bench_scenes import build_north_star
 
-    sc = build_north_star(nf, nr, seed=0)
+    sc = _build(workload, nf, nr)
     mesh = make_mesh(ndev)
     run = build_sharded_run(sc, mesh, ticks=ticks_per_block)
     lowered = run.lower(shard_state(mesh, sc.state))
@@ -102,10 +113,24 @@ def measure(nf: int, nr: int, ndev: int, ticks_per_block: int = 1) -> dict:
         collectives=colls,
         collective_bytes_total=sum(d["bytes"] for d in colls.values()),
     )
-    # one real execution: correctness of the sharded program
+    # one real execution: correctness of the sharded program — then a timed
+    # window. The harness host runs every virtual device on ONE core, so
+    # multi-device wall-clock ~= SUM of per-device work: the ratio
+    # wall(N)/wall(1) is the total-work inflation of the sharded program
+    # (1.0 = perfect weak scaling; the achievable N-chip speedup is
+    # ~ N / inflation). This is the loop-aware complement to
+    # cost_analysis, which does not multiply flops through scan/fori trip
+    # counts.
+    import time
     st = shard_state(mesh, sc.state)
     out = run(st)
     rep["finite"] = bool(np.isfinite(np.asarray(out.bodies.pos)).all())
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out = run(out)
+    np.asarray(out.bodies.pos)
+    rep["exec_s_per_tick"] = round(
+        (time.perf_counter() - t0) / (2 * ticks_per_block), 4)
     return rep
 
 
@@ -116,14 +141,22 @@ def main() -> int:
     ap.add_argument("--ndev", type=int, default=0,
                     help="0 = all visible devices")
     ap.add_argument("--block", type=int, default=1)
+    ap.add_argument("--workload", default="north",
+                    choices=("north", "rigid", "dam"))
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     ndev = args.ndev or len(jax.devices())
 
-    res = dict(metric="multichip_scaling", workload="north_star_shaped")
-    res["single"] = measure(args.nf, args.nr, 1, args.block)
-    res["multi"] = measure(args.nf, args.nr, ndev, args.block)
+    res = dict(metric="multichip_scaling", workload=args.workload)
+    res["single"] = measure(args.nf, args.nr, 1, args.block,
+                            args.workload)
+    res["multi"] = measure(args.nf, args.nr, ndev, args.block,
+                           args.workload)
     s, m = res["single"], res["multi"]
+    if s.get("exec_s_per_tick", 0) > 0:
+        infl = m["exec_s_per_tick"] / s["exec_s_per_tick"]
+        res["total_work_inflation"] = round(infl, 3)
+        res["projected_speedup_at_n"] = round(ndev / max(infl, 1e-9), 2)
     if s["per_device_flops"] > 0:
         res["flops_parallel_fraction"] = round(
             1.0 - m["per_device_flops"] / s["per_device_flops"], 4)
