@@ -224,6 +224,13 @@ class RigidBodyConfig:
     # Narrowphase there is closed-form SAT (geometry.sat_contact), equal to
     # converged GJK->EPA on convex shapes (tests/test_geometry_sat.py).
     grid_pipeline: str = "auto"      # "auto" | "on" | "off"
+    # Narrowphase engine for the grid pipeline's dense candidate rows:
+    # "pallas" = fused SAT+clip VMEM kernel (ops/pallas_rigid.py; all-
+    # polygon scenes with max_contacts_per_pair == 2 only — the XLA pair
+    # materializes ~65 GB/tick of projection intermediates at north-star
+    # scale), "xla" = vmapped geometry.sat_contact + _pair_contacts,
+    # "auto" = pallas on TPU when eligible.
+    narrowphase_backend: str = "auto"   # "auto" | "pallas" | "xla"
     grid_slots_per_cell: int = 0     # body slots per cell; 0 = auto
     grid_rows_same: int = 0          # same-cell pair rows per cell; 0 = auto
     grid_rows_axis: int = 0          # E/S neighbor rows per cell; 0 = auto

@@ -185,6 +185,20 @@ def make_grid_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
     kiota = jnp.arange(KB, dtype=jnp.int32)
     _ablate = os.environ.get("LPE_RIGID_ABLATE", "")  # perf triage only
 
+    # Pallas narrowphase (SAT + clip fused in VMEM): the vmapped XLA pair
+    # materializes ~65 GB/tick of [N, 2V, V] projection intermediates at
+    # north-star scale (82 of 150 ms — scripts/north_rigid_trace.py).
+    # Poly-poly only; circle scenes and C != 2 keep the XLA path.
+    nb = getattr(rc, "narrowphase_backend", "auto")
+    use_np_kernel = (C == 2 and not spec.any_rigid_circle
+                     and (nb == "pallas" or
+                          (nb == "auto"
+                           and jax.default_backend() == "tpu")))
+    if use_np_kernel:
+        from ...ops.pallas_rigid import make_narrowphase
+        _pl_narrow = make_narrowphase(
+            VS, interpret=jax.default_backend() != "tpu")
+
     # ---------------------------------------------------------------- rebuild
     def _aabbs_bodies(b):
         """World AABBs of all solids (reference: broadphase.cpp:164-199)."""
@@ -509,12 +523,15 @@ def make_grid_rigid_system(spec: SceneSpec, cfg: ScenarioSystemConfig):
                                sa)
         flat_sb = jax.tree.map(lambda x: x.reshape((NC * R,) + x.shape[2:]),
                                sb)
-        hit, nrm, pen = jax.vmap(partial(
-            geo.sat_contact, any_circle=spec.any_rigid_circle))(
-                flat_sa, flat_sb)
-        pts, pens, cval = jax.vmap(
-            lambda a_, b_, n_, p_: _pair_contacts(a_, b_, n_, p_, C))(
-                flat_sa, flat_sb, nrm, pen)
+        if use_np_kernel:
+            hit, nrm, pen, pts, pens, cval = _pl_narrow(flat_sa, flat_sb)
+        else:
+            hit, nrm, pen = jax.vmap(partial(
+                geo.sat_contact, any_circle=spec.any_rigid_circle))(
+                    flat_sa, flat_sb)
+            pts, pens, cval = jax.vmap(
+                lambda a_, b_, n_, p_: _pair_contacts(a_, b_, n_, p_, C))(
+                    flat_sa, flat_sb, nrm, pen)
         nrm = nrm.reshape(NC, R, 2)
         valid = (rg_valid & hit.reshape(NC, R))[..., None] \
             & cval.reshape(NC, R, C)
