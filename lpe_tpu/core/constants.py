@@ -21,6 +21,11 @@ MAX_POLY_VERTS = 16
 # Per-cell neighbor-table occupancy cap for the SPH uniform grid
 # (reference: src/systems/fluid/fluid_kernels.metal:60).
 MAX_PER_CELL = 64
+# Chunking geometry of the rasterized fluid<->rigid coupling field build
+# (systems/fluid/sph.py _couple_field): rows per scan step and columns per
+# x-tile window. Shared with scene.py's capacity seed (coupling_max_win0).
+COUPLE_CHUNK_ROWS = 8
+COUPLE_TILE_COLS = 128
 
 
 class Phase(enum.IntEnum):

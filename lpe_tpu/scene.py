@@ -93,6 +93,10 @@ class SceneSpec:
     coupling_max_cell_cover0: int = 0
     coupling_max_row_cover0: int = 0
     coupling_max_diam: float = 0.0
+    # max candidate-copy population of one (128-column x-tile,
+    # hcells+CH-row) sorted-bucket window of the chunked field build
+    # (sph.py _couple_field) — seeds its per-tile window capacity
+    coupling_max_win0: int = 0
     # static max polygon vertex count over the non-liquid entities: the
     # fluid-coupling kernels size their vertex loops to this instead of
     # MAX_POLY_VERTS (walls are 4-gons; a 16-wide vert axis would 4x the
@@ -268,7 +272,7 @@ class SceneBuilder:
                 occ0 = int(cnt.max())
         # coupling-raster density seeds (non-big non-liquid entities vs the
         # FLUID grid; see systems/fluid/sph.py coupling_dims)
-        cpl_cell0 = cpl_row0 = 0
+        cpl_cell0 = cpl_row0 = cpl_win0 = 0
         cpl_diam = 0.0
         nrig = ns + ng
         if nrig and nl:
@@ -314,6 +318,25 @@ class SceneBuilder:
                 rb_c = np.where(circ, r, np.sqrt(
                     np.where(vm, vx_ ** 2 + vy_ ** 2, 0.0)).max(1))
                 cpl_diam = float(2.0 * rb_c.max()) if rb_c.size else 0.0
+                # chunked-window population (sph.py _couple_field): copies
+                # binned by (x-tile of the widened AABB edge, bottom-edge
+                # bucket), max summed over one hcells+CH-row strip
+                hc = int(math.ceil((cpl_diam + 2.0 * slackm) / fcell)) + 1
+                ch = constants.COUPLE_CHUNK_ROWS
+                buck = np.clip(np.floor(mny / fcell).astype(int) + 3,
+                               0, rows - 1)
+                ntl = rows // constants.COUPLE_TILE_COLS + 2
+                ct0 = np.clip(cx0 // constants.COUPLE_TILE_COLS, 0, ntl - 1)
+                ct1 = np.clip(cx1 // constants.COUPLE_TILE_COLS, 0, ntl - 1)
+                bc = np.zeros((ntl, rows), np.int64)
+                np.add.at(bc, (ct0, buck), 1)
+                dup = ct1 != ct0
+                np.add.at(bc, (ct1[dup], buck[dup]), 1)
+                w = min(hc + ch, rows)
+                cs = np.concatenate(
+                    [np.zeros((ntl, 1), np.int64), np.cumsum(bc, 1)], 1)
+                cpl_win0 = int((cs[:, w:] - cs[:, :-w]).max()) \
+                    if rows > w else int(bc.sum(1).max())
         spec = SceneSpec(
             capacity=cap, n_entities=n, n_solid=ns, n_gas=ng, n_liquid=nl,
             solid_start=0, gas_start=ns, liquid_start=ns + ng,
@@ -325,6 +348,7 @@ class SceneBuilder:
             coupling_max_cell_cover0=cpl_cell0,
             coupling_max_row_cover0=cpl_row0,
             coupling_max_diam=cpl_diam,
+            coupling_max_win0=cpl_win0,
             max_rigid_verts=max(3, int(nverts[:ns + ng].max(initial=0))),
             max_solid_verts=max(
                 3, int(nverts[:ns].max(initial=0)),

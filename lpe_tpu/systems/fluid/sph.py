@@ -34,6 +34,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from ...core import constants as C
 from ...core.config import ScenarioSystemConfig
 from ...core.constants import MAX_POLY_VERTS, ShapeKind
 from ...scene import SceneSpec
@@ -117,10 +118,15 @@ def coupling_dims(spec, cfg):
     fc = cfg.fluid
     S = fc.coupling_slots_per_cell or min(
         32, max(8, _next_mult(3 * max(1, spec.coupling_max_cell_cover0), 8)))
-    wauto = max(256,
-                _next_mult(4 * max(1, spec.coupling_max_row_cover0), 128))
+    # per-(x-tile, row-chunk) window capacity of the chunked build: sized
+    # from the measured t=0 window population (scene.py coupling_max_win0;
+    # coupling_max_row_cover0 as a floor for scenes predating the stat)
+    # with 4x piling headroom
+    w0 = max(1, spec.coupling_max_win0,
+             getattr(spec, "coupling_max_row_cover0", 0))
+    wauto = max(256, _next_mult(4 * w0, 128))
     WCAP = fc.coupling_window_rows or wauto
-    WCAP = min(WCAP, _next_mult(NR, 128))
+    WCAP = min(WCAP, _next_mult(2 * NR, 128))
     return dict(S=S, WCAP=WCAP, NBIG=len(spec.solid_big_idx),
                 slack_cells=float(fc.coupling_raster_slack_cells))
 
@@ -818,44 +824,72 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
 
         _iw = jnp.arange(_WCAP)
         _s1 = (jnp.arange(_S) + 1).astype(jnp.int32)
+        _CH = C.COUPLE_CHUNK_ROWS
+        _CTW = C.COUPLE_TILE_COLS
+        _NTL = -(-_nxp_t // _CTW)
+        _chv = jnp.arange(_CH)
 
-        def _win_masks(meta, p, PLrow=None):
-            """Shared sorted-window machinery of the field build and the
-            force reduction: slice the window, compute the (slack-widened)
-            AABB/cell overlap and per-column slot ranks, and return the
-            [WCAP, S*NTX] one-hot A. With ``PLrow`` ([3S, NTX] accumulated
-            force partials) also returns the window's [WCAP, 3] sums."""
-            g = p + meta["row_off"]
+        def _win_chunk(meta, c, t, PLc=None):
+            """Sorted-window machinery of the chunked field build and force
+            reduction for ONE (CH-row chunk c, x-tile t): slice the tile's
+            window, compute the (slack-widened) AABB/cell overlap and
+            per-column slot ranks over the tile's CTW columns, and contract
+            the [WCAP, CH*S*CTW] rank one-hot A. Candidates are sorted by
+            (tile, bottom-edge bucket) — the chunk's window start is shared
+            by its CH rows (per-row validity via the per-row counts; extra
+            low candidates are exactly filtered by the y-overlap, the
+            _hcells window-span argument). With ``PLc`` ([CH, 3S, NTX]
+            accumulated force partials) returns the window's [WCAP, 3] sums
+            instead of the field block."""
             nyT = meta["nyT"]
-            lo = meta["starts"][jnp.clip(g - _hcells, 0, nyT + 1)]
-            hi = meta["starts"][jnp.clip(g, 0, nyT + 1) + 1]
-            cnt = hi - lo
+            NB = meta["NB"]
+            g0 = c * _CH + meta["row_off"]
+            gs = g0 + _chv
+            lo = meta["starts"][t * NB + jnp.clip(g0 - _hcells, 0, nyT + 1)]
+            his = meta["starts"][t * NB + jnp.clip(gs, 0, nyT + 1) + 1]
+            cnts = his - lo                                # [CH]
             win = jax.lax.dynamic_slice(meta["tabs"], (lo, 0),
                                         (_WCAP, _Wp))
-            valid = (_iw < cnt) & (win[:, 5] > 0)
-            gf = g.astype(win.dtype) if hasattr(g, "dtype") else float(g)
-            ry0 = (gf - 3.0) * cell - _slackm
+            valid = (_iw[None, :] < cnts[:, None]) & \
+                (win[:, 5] > 0)[None, :]                   # [CH, WCAP]
+            gf = gs.astype(win.dtype)
+            ry0 = (gf - 3.0) * cell - _slackm              # [CH]
             ry1 = (gf - 2.0) * cell + _slackm
-            yov = (win[:, 10] <= ry1) & (win[:, 12] >= ry0) & valid
-            cx0 = (jnp.arange(_nxp_t).astype(win.dtype) - 3.0) * cell \
-                - _slackm
+            yov = (win[:, 10][None, :] <= ry1[:, None]) & \
+                  (win[:, 12][None, :] >= ry0[:, None]) & valid
+            cx0 = ((t * _CTW + jnp.arange(_CTW)).astype(win.dtype)
+                   - 3.0) * cell - _slackm
             cx1 = cx0 + cell + 2.0 * _slackm
             xov = (win[:, 9][:, None] <= cx1[None, :]) & \
-                  (win[:, 11][:, None] >= cx0[None, :])
-            ov = yov[:, None] & xov                        # [WCAP, NTX]
-            rank = jnp.cumsum(ov.astype(jnp.int32), axis=0)
-            oh = ov[:, None, :] & (rank[:, None, :]
-                                   == _s1[None, :, None])  # [WCAP, S, NTX]
-            A = oh.reshape(_WCAP, _S * _nxp_t).astype(win.dtype)
-            ovf = (jnp.maximum(ov.sum(0) - _S, 0).sum()
-                   + jnp.maximum(cnt - _WCAP, 0)).astype(jnp.float32)
-            if PLrow is None:
-                return win, A, cnt, lo, ovf
-            P3 = PLrow.reshape(_S, 3, _nxp_t).transpose(0, 2, 1) \
-                .reshape(_S * _nxp_t, 3)
+                  (win[:, 11][:, None] >= cx0[None, :])    # [WCAP, CTW]
+            ov = yov[:, :, None] & xov[None, :, :]         # [CH, WCAP, CTW]
+            rank = jnp.cumsum(ov.astype(jnp.int32), axis=1)
+            oh = ov[:, :, None, :] & (rank[:, :, None, :]
+                                      == _s1[None, None, :, None])
+            A = oh.transpose(1, 0, 2, 3) \
+                .reshape(_WCAP, _CH * _S * _CTW).astype(win.dtype)
+            ovf = (jnp.maximum(ov.sum(1) - _S, 0).sum()
+                   + jnp.maximum(cnts - _WCAP, 0).sum()) \
+                .astype(jnp.float32)
+            total = his[-1] - lo                           # monotone: max
+            if PLc is None:
+                def build(_):
+                    f = jax.lax.dot(win.T, A,
+                                    precision=jax.lax.Precision.HIGHEST)
+                    return (f.reshape(_Wp, _CH, _S, _CTW)
+                            .transpose(1, 2, 0, 3), ovf)
+
+                def empty(_):
+                    return (jnp.zeros((_CH, _S, _Wp, _CTW), win.dtype),
+                            jnp.float32(0.0))
+
+                return jax.lax.cond(total > 0, build, empty, None)
+            P3 = PLc[:, :, t * _CTW:(t + 1) * _CTW] \
+                .reshape(_CH, _S, 3, _CTW).transpose(0, 1, 3, 2) \
+                .reshape(_CH * _S * _CTW, 3)
             Fwin = jax.lax.dot(A, P3,
                                precision=jax.lax.Precision.HIGHEST)
-            return Fwin, cnt, lo
+            return Fwin, lo, total
 
         def _couple_field(R, rows, row_off=0, ny_total=None):
             """Tick-constant rasterized candidate structures (the proxies
@@ -880,42 +914,51 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                     [tab[_big_arr], jnp.zeros((1, _Wp), tab.dtype)])
             else:
                 bigtab = jnp.zeros((1, _Wp), tab.dtype)
+            # one candidate COPY per covered x-tile (small rigids span far
+            # less than one CTW-column tile, so <= 2 copies), sorted by
+            # (tile, bottom-edge bucket): each (chunk, tile) window is then
+            # one contiguous slice, and per-tile window capacity scales
+            # with LOCAL x density instead of the full row
             wminy = tab[:, 10] - _slackm
+            ctl0 = jnp.clip(jnp.floor((tab[:, 9] - _slackm) / cell)
+                            .astype(jnp.int32) + 3, 0, _nxp_t - 1) // _CTW
+            ctl1 = jnp.clip(jnp.floor((tab[:, 11] + _slackm) / cell)
+                            .astype(jnp.int32) + 3, 0, _nxp_t - 1) // _CTW
             live = (tab[:, 5] > 0) & (~_isbig)
-            key = jnp.where(live, wminy, jnp.float32(INF))
-            order = jnp.argsort(key, stable=False)
-            tabs = _permute_rows(tab, order)
-            keys = jnp.sort(key)
-            keys_c = jnp.clip(keys, -1e6, 1e6)
+            tab2 = jnp.concatenate([tab, tab])
+            tile2 = jnp.concatenate([ctl0, ctl1])
+            live2 = jnp.concatenate([live, live & (ctl1 != ctl0)])
+            keys_c = jnp.clip(wminy, -1e6, 1e6)
             buck = jnp.clip(jnp.floor(keys_c / cell).astype(jnp.int32) + 3,
                             0, nyT + 1)
-            buck = jnp.where(keys > 1e29, nyT + 2, buck)   # dead rows
-            counts = jnp.zeros((nyT + 3,), jnp.int32).at[buck].add(1)
+            NB = nyT + 3
+            buck2 = jnp.concatenate([buck, buck])
+            key = jnp.where(live2, tile2 * NB + buck2, _NTL * NB)
+            order = jnp.argsort(key, stable=False)
+            tabs = _permute_rows(tab2, order)
+            counts = jnp.zeros((_NTL * NB + 1,), jnp.int32) \
+                .at[jnp.sort(key)].add(1)
             starts = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32),
-                 jnp.cumsum(counts, dtype=jnp.int32)])[:nyT + 3]
+                 jnp.cumsum(counts, dtype=jnp.int32)])[:_NTL * NB + 1]
             tabs = jnp.concatenate(
                 [tabs, jnp.zeros((_WCAP, _Wp), tabs.dtype)])
             meta = dict(tabs=tabs, starts=starts, order=order,
-                        row_off=row_off, nyT=nyT)
+                        row_off=row_off, nyT=nyT, NB=NB)
 
-            def body(ovf_c, p):
-                win, A, cnt, _lo, ovf = _win_masks(meta, p)
+            nch = -(-rows // _CH)
 
-                def build(_):
-                    f = jax.lax.dot(
-                        win.T, A, precision=jax.lax.Precision.HIGHEST)
-                    return jnp.transpose(
-                        f.reshape(_Wp, _S, _nxp_t), (1, 0, 2))
-
-                def empty(_):
-                    return jnp.zeros((_S, _Wp, _nxp_t), tabs.dtype)
-
-                fldp = jax.lax.cond(cnt > 0, build, empty, None)
-                return ovf_c + ovf, fldp
+            def body(ovf_c, c):
+                parts, ovf = [], jnp.float32(0.0)
+                for t in range(_NTL):
+                    fldt, ovft = _win_chunk(meta, c, t)
+                    parts.append(fldt)
+                    ovf = ovf + ovft
+                return ovf_c + ovf, jnp.concatenate(parts, axis=-1)
 
             ovf, fld = jax.lax.scan(body, jnp.float32(0.0),
-                                    jnp.arange(rows))
+                                    jnp.arange(nch))
+            fld = fld.reshape(nch * _CH, _S, _Wp, _nxp_t)[:rows]
             meta["overflow"] = ovf
             return fld, bigtab, meta
 
