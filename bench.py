@@ -25,6 +25,33 @@ import sys
 import time
 
 N_PARTICLES = int(os.environ.get("BENCH_N", "100000"))
+_DENOMS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_DENOMS.json")
+
+
+def _denom(key, measure):
+    """Pinned-denominator protocol (VERDICT r4 #4): native-baseline
+    ticks/s are measured ONCE on an idle host (BENCH_PIN=1 writes them to
+    BASELINE_DENOMS.json) and reused verbatim afterwards, so vs_baseline
+    is comparable across rounds instead of drifting with host contention.
+    BENCH_REMEASURE=1 forces a fresh measurement (not persisted unless
+    BENCH_PIN is also set). Keys embed workload sizes, so degraded-mode
+    (reduced-size) runs never collide with pinned full-size numbers."""
+    d = {}
+    if os.path.exists(_DENOMS_PATH):
+        try:
+            with open(_DENOMS_PATH) as f:
+                d = json.load(f)
+        except Exception:
+            d = {}
+    if key in d and not os.environ.get("BENCH_REMEASURE"):
+        return float(d[key]), "pinned"
+    v = float(measure())
+    if os.environ.get("BENCH_PIN"):
+        d[key] = v
+        with open(_DENOMS_PATH, "w") as f:
+            json.dump(d, f, indent=1, sort_keys=True)
+    return v, "measured"
 TICKS = int(os.environ.get("BENCH_TICKS", "60"))
 ORACLE_TICKS = int(os.environ.get("BENCH_ORACLE_TICKS", "3"))
 BLOCK = max(1, int(os.environ.get("BENCH_BLOCK", "10")))
@@ -46,7 +73,8 @@ def _accelerator_reachable(timeout_s: float = 180.0) -> bool:
         return False
 
 
-def _emit(metric, dev_tps, cpu_tps, baseline, extra=None, fallback=None):
+def _emit(metric, dev_tps, cpu_tps, baseline, extra=None, fallback=None,
+          denom="measured"):
     import jax
     out = {
         "metric": metric,
@@ -56,6 +84,7 @@ def _emit(metric, dev_tps, cpu_tps, baseline, extra=None, fallback=None):
         "device": str(jax.devices()[0]),
         "baseline": baseline,
         "cpu_ticks_per_sec": round(cpu_tps, 4),
+        "denominator": denom,
     }
     if extra:
         out.update(extra)
@@ -123,17 +152,22 @@ def bench_rigid(n_bodies, oracle_ticks, fallback):
     from lpe_tpu.scenarios.bench_scenes import build_rigid_stacks
     sc = build_rigid_stacks(n_bodies, seed=0)
     dev_tps, _ = _time_device(sc, max(10, TICKS // 2), BLOCK)
-    A = _rigid_arrays(sc)
-    o = NativeRigidOracle(**_bound_kw(sc))
-    args = (A["pos"], A["vel"], A["ang"], A["om"], A["mass"], A["inertia"],
-            A["verts"], A["nv"], A["rad"], A["circ"], A["isw"])
-    # settle so the native engine is timed at realistic contact density
-    p, v, a, w = o.run(*args, 30)
-    t0 = time.perf_counter()
-    o.run(p, v, a, w, *args[4:], oracle_ticks)
-    cpu_tps = oracle_ticks / (time.perf_counter() - t0)
+
+    def measure():
+        A = _rigid_arrays(sc)
+        o = NativeRigidOracle(**_bound_kw(sc))
+        args = (A["pos"], A["vel"], A["ang"], A["om"], A["mass"],
+                A["inertia"], A["verts"], A["nv"], A["rad"], A["circ"],
+                A["isw"])
+        # settle so the native engine is timed at realistic contact density
+        p, v, a, w = o.run(*args, 30)
+        t0 = time.perf_counter()
+        o.run(p, v, a, w, *args[4:], oracle_ticks)
+        return oracle_ticks / (time.perf_counter() - t0)
+
+    cpu_tps, src = _denom(f"rigid_{n_bodies}", measure)
     _emit(f"rigid_stacks_{n_bodies}_ticks_per_sec", dev_tps, cpu_tps,
-          "native_cpp_rigid", {"n_bodies": n_bodies}, fallback)
+          "native_cpp_rigid", {"n_bodies": n_bodies}, fallback, src)
 
 
 def bench_galaxy(n_bodies, oracle_ticks, fallback):
@@ -143,17 +177,22 @@ def bench_galaxy(n_bodies, oracle_ticks, fallback):
     from lpe_tpu.scenarios.bench_scenes import build_galaxy
     sc = build_galaxy(n_bodies, seed=0)
     dev_tps, _ = _time_device(sc, max(10, TICKS // 2), BLOCK)
-    b = sc.state.bodies
-    o = NativeNBodyOracle(
-        G=REAL_G, soft=sc.cfg.shared.gravitational_softener,
-        dt=sc.cfg.shared.seconds_per_tick * sc.cfg.shared.time_acceleration,
-        universe=sc.cfg.shared.universe_size_m)
-    t0 = time.perf_counter()
-    o.run(np.asarray(b.pos, np.float64), np.asarray(b.vel, np.float64),
-          np.asarray(b.mass, np.float64), oracle_ticks)
-    cpu_tps = oracle_ticks / (time.perf_counter() - t0)
+
+    def measure():
+        b = sc.state.bodies
+        o = NativeNBodyOracle(
+            G=REAL_G, soft=sc.cfg.shared.gravitational_softener,
+            dt=sc.cfg.shared.seconds_per_tick
+            * sc.cfg.shared.time_acceleration,
+            universe=sc.cfg.shared.universe_size_m)
+        t0 = time.perf_counter()
+        o.run(np.asarray(b.pos, np.float64), np.asarray(b.vel, np.float64),
+              np.asarray(b.mass, np.float64), oracle_ticks)
+        return oracle_ticks / (time.perf_counter() - t0)
+
+    cpu_tps, src = _denom(f"galaxy_{n_bodies}", measure)
     _emit(f"galaxy_{n_bodies}_ticks_per_sec", dev_tps, cpu_tps,
-          "native_cpp_bh", {"n_bodies": n_bodies}, fallback)
+          "native_cpp_bh", {"n_bodies": n_bodies}, fallback, src)
 
 
 def _coupled_baseline(sc, oracle_ticks, settle_ticks=0):
@@ -193,11 +232,13 @@ def bench_coupled(n_fluid, n_rigid, oracle_ticks, fallback, settle=0):
     from lpe_tpu.scenarios.bench_scenes import build_coupled_dam
     sc = build_coupled_dam(n_fluid, n_rigid, seed=0)
     dev_tps, _ = _time_device(sc, TICKS, BLOCK, settle_ticks=settle)
-    cpu_tps = _coupled_baseline(sc, oracle_ticks, settle_ticks=settle)
+    cpu_tps, src = _denom(
+        f"coupled_{n_fluid}_{n_rigid}_s{settle}",
+        lambda: _coupled_baseline(sc, oracle_ticks, settle_ticks=settle))
     _emit(f"coupled_dam_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
           cpu_tps, "native_cpp_coupled",
           {"n_fluid": n_fluid, "n_rigid": n_rigid,
-           "settle_ticks": settle}, fallback)
+           "settle_ticks": settle}, fallback, src)
 
 
 def bench_north_star(n_fluid, n_rigid, oracle_ticks, fallback, settle=0):
@@ -209,11 +250,13 @@ def bench_north_star(n_fluid, n_rigid, oracle_ticks, fallback, settle=0):
     sc = build_north_star(n_fluid, n_rigid, seed=0)
     dev_tps, _ = _time_device(sc, max(10, TICKS // 2), BLOCK,
                               settle_ticks=settle)
-    cpu_tps = _coupled_baseline(sc, oracle_ticks, settle_ticks=settle)
+    cpu_tps, src = _denom(
+        f"north_{n_fluid}_{n_rigid}_s{settle}",
+        lambda: _coupled_baseline(sc, oracle_ticks, settle_ticks=settle))
     _emit(f"north_star_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
           cpu_tps, "native_cpp_coupled",
           {"n_fluid": n_fluid, "n_rigid": n_rigid,
-           "settle_ticks": settle}, fallback)
+           "settle_ticks": settle}, fallback, src)
 
 
 def bench_highlight(n_fluid, n_rigid, n_gas, oracle_ticks, fallback,
@@ -221,11 +264,13 @@ def bench_highlight(n_fluid, n_rigid, n_gas, oracle_ticks, fallback,
     from lpe_tpu.scenarios.bench_scenes import build_highlight_reel
     sc = build_highlight_reel(n_fluid, n_rigid, n_gas, seed=0)
     dev_tps, _ = _time_device(sc, TICKS, BLOCK, settle_ticks=settle)
-    cpu_tps = _coupled_baseline(sc, oracle_ticks, settle_ticks=settle)
+    cpu_tps, src = _denom(
+        f"highlight_{n_fluid}_{n_rigid}_{n_gas}_s{settle}",
+        lambda: _coupled_baseline(sc, oracle_ticks, settle_ticks=settle))
     _emit(f"highlight_reel_{n_fluid}_{n_rigid}_ticks_per_sec", dev_tps,
           cpu_tps, "native_cpp_coupled",
           {"n_fluid": n_fluid, "n_rigid": n_rigid, "n_gas": n_gas,
-           "settle_ticks": settle}, fallback)
+           "settle_ticks": settle}, fallback, src)
 
 
 def bench_dam(n_particles, oracle_ticks, fallback):
@@ -241,26 +286,31 @@ def bench_dam(n_particles, oracle_ticks, fallback):
     kw = dict(h=fc.grid.smoothing_length, rest_density=fc.rest_density,
               stiffness=fc.stiffness, viscosity=fc.viscosity,
               **_bound_kw(scene))
-    try:
-        from lpe_tpu.oracle.native import NativeSphOracle
-        oracle = NativeSphOracle(**kw)
-        baseline = "native_cpp"
-        t0 = time.perf_counter()
-        oracle.run(pos, vel, mass, oracle_ticks)
-        cpu_s = time.perf_counter() - t0
-    except Exception:
-        from lpe_tpu.oracle.sph_numpy import SphOracle
-        oracle = SphOracle(**kw)
-        baseline = "numpy"
-        t0 = time.perf_counter()
-        for _ in range(oracle_ticks):
-            pos, vel, _, _ = oracle.tick(pos, vel, mass)
-        cpu_s = time.perf_counter() - t0
-    cpu_tps = oracle_ticks / cpu_s if oracle_ticks else 0.0
+    baseline = ["native_cpp"]
+
+    def measure():
+        nonlocal pos, vel
+        try:
+            from lpe_tpu.oracle.native import NativeSphOracle
+            oracle = NativeSphOracle(**kw)
+            t0 = time.perf_counter()
+            oracle.run(pos, vel, mass, oracle_ticks)
+            cpu_s = time.perf_counter() - t0
+        except Exception:
+            from lpe_tpu.oracle.sph_numpy import SphOracle
+            oracle = SphOracle(**kw)
+            baseline[0] = "numpy"
+            t0 = time.perf_counter()
+            for _ in range(oracle_ticks):
+                pos, vel, _, _ = oracle.tick(pos, vel, mass)
+            cpu_s = time.perf_counter() - t0
+        return oracle_ticks / cpu_s if oracle_ticks else 0.0
+
+    cpu_tps, src = _denom(f"dam_{n_particles}", measure)
     _emit(f"sph_dam_break_{n_particles}_ticks_per_sec", dev_tps, cpu_tps,
-          baseline, {"n_particles": n_particles,
-                     "substeps_per_tick": fc.num_sub_steps,
-                     "ticks_per_dispatch": BLOCK}, fallback)
+          baseline[0], {"n_particles": n_particles,
+                        "substeps_per_tick": fc.num_sub_steps,
+                        "ticks_per_dispatch": BLOCK}, fallback, src)
 
 
 def main():
@@ -307,12 +357,18 @@ def main():
     # headline (dam) must be LAST: the driver records the tail line
     order = [c for c in ("rigid", "galaxy", "coupled", "highlight", "north")
              if c in CONFIGS] + (["dam"] if "dam" in CONFIGS else [])
+    failed = []
     for c in order:
         try:
             runners[c]()
         except Exception as e:  # one config must not sink the others
+            failed.append(c)
             print(json.dumps({"metric": c, "error": repr(e)[:200]}),
                   flush=True)
+    if failed:  # VERDICT r4 #2: a crashing config fails the run LOUDLY
+        print(f"bench: {len(failed)} config(s) errored: "
+              f"{','.join(failed)}", file=sys.stderr, flush=True)
+        return 1
     return 0
 
 

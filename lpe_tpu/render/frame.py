@@ -302,6 +302,111 @@ def _debug_overlays(state, spec, img, H, W, mpp):
     return jax.lax.fori_loop(0, spec.n_solid, one, img)
 
 
+_RG_OVERLAY_MAX_ROWS = 262144
+
+
+def _contact_overlays(state, spec, img, H, W, mpp):
+    """Live contact debug overlay: yellow contact points, a 30 px normal
+    line darkened to body A's color, a normal-impulse line (min(|jn|*5,
+    50) px, body B's color) and a perpendicular blue tangent-impulse line
+    flipped by the impulse sign. reference: solid_renderer.cpp:151-204
+    (renderContactDebug) — dead code there (ContactRef is never
+    populated, PARITY.md); this rebuild has live solver rows so the
+    overlay actually draws. Drawn by SAMPLE SCATTER (segments sampled at
+    fixed counts, scattered with drop semantics) instead of dense
+    per-contact [H, W] masks, so cost scales with contact count, not
+    contacts x pixels. Overlap winners are scatter-order-defined — fine
+    for a debug layer. Sources both contact caches: the list pipeline's
+    pair-keyed warm_* rows and (when its row count is small enough to
+    draw) the grid pipeline's cell-resident rg_warm_* rows."""
+    b = state.bodies
+    dt = img.dtype
+    flat0 = img.reshape(H * W, 3)
+    buf = jnp.concatenate([flat0, jnp.zeros((1, 3), dt)])
+
+    def seg(buf, x0, y0, ux, uy, length, color, val, S=16):
+        # segment from (x0,y0) px along (ux,uy), S samples, 2x2 thickness
+        t = jnp.linspace(0.0, 1.0, S, dtype=x0.dtype)[None, :]
+        xs = x0[:, None] + ux[:, None] * t * length[:, None]
+        ys = y0[:, None] + uy[:, None] * t * length[:, None]
+        v = (val[:, None] & (xs >= 0) & (xs < W - 1)
+             & (ys >= 0) & (ys < H - 1))
+        xi = jnp.floor(xs).astype(jnp.int32)
+        yi = jnp.floor(ys).astype(jnp.int32)
+        cs = jnp.broadcast_to(color[:, None, :], xs.shape + (3,)) \
+            .reshape(-1, 3)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                idx = jnp.where(v, (yi + dy) * W + xi + dx, H * W)
+                buf = buf.at[idx.reshape(-1)].set(cs, mode="drop")
+        return buf
+
+    def dot(buf, x0, y0, color, val, r=3):
+        xi = jnp.floor(x0).astype(jnp.int32)
+        yi = jnp.floor(y0).astype(jnp.int32)
+        v = val & (x0 >= r) & (x0 < W - r) & (y0 >= r) & (y0 < H - r)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if dx * dx + dy * dy > r * r:
+                    continue
+                idx = jnp.where(v, (yi + dy) * W + xi + dx, H * W)
+                buf = buf.at[idx].set(
+                    jnp.broadcast_to(color, (idx.shape[0], 3)), mode="drop")
+        return buf
+
+    yellow = jnp.array([255.0, 255.0, 0.0], dt)
+    blue = jnp.array([0.0, 0.0, 255.0], dt)
+    white = jnp.full((3,), 255.0, dt)
+
+    def draw(buf, pt, nrm, jn, jt, val, colA, colB):
+        px = pt[:, 0] / mpp
+        py = pt[:, 1] / mpp
+        nx, ny = nrm[:, 0], nrm[:, 1]
+        ln = jnp.full(px.shape, 30.0, dt)
+        buf = seg(buf, px, py, nx, ny, ln, colA, val)
+        li = jnp.minimum(jnp.abs(jn) * 5.0, 50.0)
+        buf = seg(buf, px, py, nx, ny, li, colB,
+                  val & (jnp.abs(jn) > 1e-3))
+        # tangent: normal rotated +90deg, flipped when jt < 0
+        sgn = jnp.where(jt < 0, -1.0, 1.0)
+        lt = jnp.minimum(jnp.abs(jt) * 5.0, 50.0)
+        buf = seg(buf, px, py, -ny * sgn, nx * sgn, lt,
+                  jnp.broadcast_to(blue, colA.shape),
+                  val & (jnp.abs(jt) > 1e-3))
+        return dot(buf, px, py, yellow, val)
+
+    # list pipeline's pair-keyed cache
+    P, C = state.warm_normal.shape
+    if P:
+        ia = jnp.maximum(state.warm_ia, 0)
+        ib = jnp.maximum(state.warm_ib, 0)
+        colA = (b.color[ia].astype(dt) * 0.9)[:, None, :] \
+            .repeat(C, 1).reshape(-1, 3)
+        colB = (b.color[ib].astype(dt) * 0.9)[:, None, :] \
+            .repeat(C, 1).reshape(-1, 3)
+        pt = state.warm_pt.reshape(-1, 2)
+        nrm = state.warm_n[:, None, :].repeat(C, 1).reshape(-1, 2)
+        val = ((state.warm_ia >= 0)[:, None]
+               & (state.warm_pt[..., 0] < 1e29)).reshape(-1)
+        buf = draw(buf, pt, nrm, state.warm_normal.reshape(-1),
+                   state.warm_tangent.reshape(-1), val, colA, colB)
+    # grid pipeline's cell-resident cache (no body ids in the rows: the
+    # normal draws white; skipped entirely when the resident row count
+    # would make the overlay itself a workload)
+    rg = getattr(state, "rg_warm_n", None)
+    if rg is not None and rg.size and rg.size <= _RG_OVERLAY_MAX_ROWS:
+        NCc, R, Cc = rg.shape
+        pt = state.rg_warm_pt.reshape(-1, 2)
+        nrm = state.rg_warm_nrm[:, :, None, :].repeat(Cc, 2).reshape(-1, 2)
+        val = (pt[:, 0] < 1e29) & \
+            ((jnp.abs(state.rg_warm_n) > 1e-3)
+             | (jnp.abs(state.rg_warm_t) > 1e-3)).reshape(-1)
+        colW = jnp.broadcast_to(white, (pt.shape[0], 3))
+        buf = draw(buf, pt, nrm, state.rg_warm_n.reshape(-1),
+                   state.rg_warm_t.reshape(-1), val, colW, colW)
+    return buf[:H * W].reshape(H, W, 3)
+
+
 def _scheme_colors(state, spec, H, W, mpp, scheme):
     """Per-PIXEL property aggregation -> per-entity fill colors for the
     solid slice (reference: renderer_types.hpp:34-73 PixelProperties,
@@ -402,6 +507,8 @@ def make_renderer(spec: SceneSpec, cfg: ScenarioSystemConfig, *,
         if debug:
             with jax.named_scope("render_debug"):
                 img = _debug_overlays(st, spec, img, H, W, mpp)
+                if spec.n_solid > 0:
+                    img = _contact_overlays(st, spec, img, H, W, mpp)
         return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
     return jax.jit(frame) if jit else frame

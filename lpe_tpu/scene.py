@@ -250,6 +250,20 @@ class SceneBuilder:
                 np.linalg.norm(verts[:ns], axis=-1).max(-1))
             med = np.median(rb[rb > 0]) if (rb > 0).any() else 1.0
             big = np.flatnonzero(rb > 3.0 * med)
+            if nl:
+                # coupling-raster invariant: small candidates are copied
+                # only into the x-tiles containing their widened-AABB EDGES
+                # (sph.py _couple_field), so a body whose widened AABB can
+                # span >= 3 coupling tiles must ride the dense bigtab
+                # side-channel regardless of how it compares to the median
+                # (ADVICE r4 medium — uniformly-large-rigid scenes).
+                fcell_b = (cfg.fluid.grid.smoothing_length
+                           * cfg.fluid.grid.cell_size_factor)
+                slack_b = (float(cfg.fluid.coupling_raster_slack_cells)
+                           * fcell_b)
+                tile_w = constants.COUPLE_TILE_COLS * fcell_b
+                big = np.union1d(big, np.flatnonzero(
+                    2.0 * (rb + slack_b) > tile_w)).astype(np.int64)
             if big.size > 64:          # cap the dense block; the grid cell
                 big = big[np.argsort(-rb[big])[:64]]   # grows to cover rest
             nonbig = np.setdiff1d(np.arange(ns), big)
@@ -300,14 +314,19 @@ class SceneBuilder:
                 mxy = np.where(circ, pos[idx, 1] + r,
                                np.where(vm, wy, -big_f).max(1)) + slackm
                 rows = int(math.ceil(cfg.shared.universe_size_m / fcell)) + 6
+                # x-column count mirrors sph.py's padded-column geometry
+                # (ceil(universe_x/fcell)+6); tiles run along X, so the
+                # tile count derives from COLS, not rows (ADVICE r4 low —
+                # only coincidentally equal for square universes)
+                cols = int(math.ceil(cfg.shared.universe_size_m / fcell)) + 6
                 cy0 = np.clip(np.floor(mny / fcell).astype(int) + 3,
                               0, rows - 1)
                 cy1 = np.clip(np.floor(mxy / fcell).astype(int) + 3,
                               0, rows - 1)
                 cx0 = np.clip(np.floor(mnx / fcell).astype(int) + 3,
-                              0, rows - 1)
+                              0, cols - 1)
                 cx1 = np.clip(np.floor(mxx / fcell).astype(int) + 3,
-                              0, rows - 1)
+                              0, cols - 1)
                 cov = np.zeros((rows, rows), np.int64)
                 rcov = np.zeros((rows,), np.int64)
                 for a0, a1, b0, b1 in zip(cy0, cy1, cx0, cx1):
@@ -325,7 +344,7 @@ class SceneBuilder:
                 ch = constants.COUPLE_CHUNK_ROWS
                 buck = np.clip(np.floor(mny / fcell).astype(int) + 3,
                                0, rows - 1)
-                ntl = rows // constants.COUPLE_TILE_COLS + 2
+                ntl = cols // constants.COUPLE_TILE_COLS + 2
                 ct0 = np.clip(cx0 // constants.COUPLE_TILE_COLS, 0, ntl - 1)
                 ct1 = np.clip(cx1 // constants.COUPLE_TILE_COLS, 0, ntl - 1)
                 bc = np.zeros((ntl, rows), np.int64)

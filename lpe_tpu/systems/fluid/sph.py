@@ -119,11 +119,13 @@ def coupling_dims(spec, cfg):
     S = fc.coupling_slots_per_cell or min(
         32, max(8, _next_mult(3 * max(1, spec.coupling_max_cell_cover0), 8)))
     # per-(x-tile, row-chunk) window capacity of the chunked build: sized
-    # from the measured t=0 window population (scene.py coupling_max_win0;
-    # coupling_max_row_cover0 as a floor for scenes predating the stat)
-    # with 4x piling headroom
-    w0 = max(1, spec.coupling_max_win0,
-             getattr(spec, "coupling_max_row_cover0", 0))
+    # from the measured t=0 window population (scene.py coupling_max_win0)
+    # with 4x piling headroom. The whole-row stat coupling_max_row_cover0
+    # is only a FALLBACK for specs predating the per-tile stat (win0 == 0)
+    # — taking max() of both would floor WCAP at the pre-tiling size and
+    # defeat the per-tile window shrink (ADVICE r4).
+    w0 = max(1, spec.coupling_max_win0
+             or getattr(spec, "coupling_max_row_cover0", 0))
     wauto = max(256, _next_mult(4 * w0, 128))
     WCAP = fc.coupling_window_rows or wauto
     WCAP = min(WCAP, _next_mult(2 * NR, 128))
@@ -928,6 +930,13 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             tab2 = jnp.concatenate([tab, tab])
             tile2 = jnp.concatenate([ctl0, ctl1])
             live2 = jnp.concatenate([live, live & (ctl1 != ctl0)])
+            # copies exist only for the two edge tiles: a small rigid
+            # spanning >= 3 x-tiles would silently lose its MIDDLE tiles.
+            # scene.py routes statically-wide bodies through bigtab; this
+            # counts any runtime escapee (e.g. post-spawn growth) into the
+            # overflow diagnostic (ADVICE r4 medium).
+            ovf_mid = ((ctl1 - ctl0) > 1).astype(jnp.float32) \
+                .dot(live.astype(jnp.float32))
             keys_c = jnp.clip(wminy, -1e6, 1e6)
             buck = jnp.clip(jnp.floor(keys_c / cell).astype(jnp.int32) + 3,
                             0, nyT + 1)
@@ -959,33 +968,44 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             ovf, fld = jax.lax.scan(body, jnp.float32(0.0),
                                     jnp.arange(nch))
             fld = fld.reshape(nch * _CH, _S, _Wp, _nxp_t)[:rows]
-            meta["overflow"] = ovf
+            meta["overflow"] = ovf + ovf_mid
             return fld, bigtab, meta
 
         def _couple_reduce(meta, PL):
             """Per-tick reduction of the accumulated per-(row, slot,
             column) force partials PL [rows, 3S, NTX] to per-rigid
             (fx, fy, tq) sums [NR, 3] — the transposed rasterization: the
-            same window one-hots select each row's partials back onto the
-            sorted candidate axis (MXU matmuls), windows accumulate into
-            the sorted force array by contiguous dynamic-slice updates,
-            and one final [NR] scatter-add unsorts."""
-            def body(Facc, xs):
-                p, PLrow = xs
-                Fwin, cnt, lo = _win_masks(meta, p, PLrow)
+            same (row-chunk, x-tile) window one-hots of _win_chunk select
+            each chunk's partials back onto the sorted candidate axis (MXU
+            matmuls), windows accumulate into the sorted force array by
+            contiguous dynamic-slice updates, and one final scatter-add
+            unsorts. The sorted table holds 2*NR tile-copies of each
+            candidate (one per covered x-tile), so the unsort maps sorted
+            position -> order[i] % NR: BOTH copies' forces accumulate into
+            the body."""
+            rows, PS, NTX = PL.shape
+            nch = -(-rows // _CH)
+            PLp = jnp.pad(PL, ((0, nch * _CH - rows), (0, 0), (0, 0)))
 
-                def red(F):
-                    cur = jax.lax.dynamic_slice(F, (lo, 0), (_WCAP, 3))
-                    return jax.lax.dynamic_update_slice(
-                        F, cur + Fwin, (lo, 0))
+            def body(Facc, c):
+                PLc = jax.lax.dynamic_slice(
+                    PLp, (c * _CH, 0, 0), (_CH, PS, NTX))
+                for t in range(_NTL):
+                    Fwin, lo, total = _win_chunk(meta, c, t, PLc)
 
-                return jax.lax.cond(cnt > 0, red, lambda F: F, Facc), None
+                    def red(F, Fwin=Fwin, lo=lo):
+                        cur = jax.lax.dynamic_slice(F, (lo, 0), (_WCAP, 3))
+                        return jax.lax.dynamic_update_slice(
+                            F, cur + Fwin, (lo, 0))
 
-            Facc0 = jnp.zeros((NR + _WCAP, 3), PL.dtype)
-            Facc, _ = jax.lax.scan(
-                body, Facc0, (jnp.arange(PL.shape[0]), PL))
-            return jnp.zeros((NR, 3), PL.dtype).at[meta["order"]].add(
-                Facc[:NR], mode="drop")
+                    Facc = jax.lax.cond(total > 0, red, lambda F: F, Facc)
+                return Facc, None
+
+            Facc0 = jnp.zeros((2 * NR + _WCAP, 3), PL.dtype)
+            Facc, _ = jax.lax.scan(body, Facc0, jnp.arange(nch))
+            body_idx = meta["order"].astype(jnp.int32) % NR
+            return jnp.zeros((NR, 3), PL.dtype).at[body_idx].add(
+                Facc[:2 * NR], mode="drop")
 
         def _cpl_mask(rm, R, row_off=0):
             """[rows, NT] int32: tile has particles AND a rigid AABB within

@@ -109,6 +109,25 @@ def test_debug_overlays():
                 & (plain[:, :, 0] == 0)).any()
 
 
+def test_contact_debug_overlay():
+    """Live contact points/normals/impulses render in debug mode
+    (solid_renderer.cpp:151-204 — dead in the reference, live here:
+    VERDICT r4 #8). A box resting on a wall has persistent warm-cache
+    contact rows after a few ticks; the overlay draws them yellow."""
+    from lpe_tpu.scenarios.bench_scenes import build_rigid_stacks
+    from lpe_tpu.systems import build_run_fn
+    sc = build_rigid_stacks(24, seed=1)
+    st = build_run_fn(sc.spec, sc.cfg, ticks=150, donate=False)(sc.state)
+    pt_rows = int((np.asarray(st.warm_pt)[..., 0] < 1e29).sum())
+    assert pt_rows > 0, "scene produced no warm contact points to draw"
+    dbg = np.asarray(make_renderer(sc.spec, sc.cfg, debug=True)(st))
+    plain = np.asarray(make_renderer(sc.spec, sc.cfg)(st))
+    yellow = lambda f: ((f[:, :, 0] == 255) & (f[:, :, 1] == 255)
+                        & (f[:, :, 2] == 0))
+    assert yellow(dbg).any()           # contact points
+    assert not yellow(plain).any()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     from lpe_tpu.io.checkpoint import load_state, save_state
