@@ -213,13 +213,18 @@ def make_pp_correction(universe: float, grid: int, softener: float,
     if n_bodies is not None:
         need = int(math.ceil(3.0 * n_bodies / float(nc * nc)))
         if need > 64:
-            # subdivide before growing K: 4x cells, ~1/4 occupancy each
+            # subdivide before growing K: 4x the cells, ~1/4 occupancy each
             m = 2
             nc = int(math.ceil(universe / (rc / m)))
             need = int(math.ceil(3.0 * n_bodies / float(nc * nc)))
-        # config K is a floor (never drop MORE pairs than asked), the
-        # occupancy-derived need grows it, 128 bounds the pair tensors
-        K = min(max(K, need), 128)
+        # config K is a per-AREA floor (never drop more pairs than asked):
+        # after subdividing, the same capacity spreads over m^2 cells, so
+        # the floor scales by 1/m^2 — keeping the raw K as a per-cell
+        # floor under m=2 quadrupled capacity and made the pair tensors
+        # [nc, nc, K, K] explode (64 -> ~1 GB per temporary at nc=256).
+        # The occupancy-derived need (3x-mean headroom) grows it; 128
+        # bounds the pair tensors; overflow_fraction reports any drops.
+        K = min(max(-(-K // (m * m)), need), 128)
     ccell = rc / m                     # actual cell width
     ncells = nc * nc
     s2c = float(softener) * float(softener)
@@ -259,22 +264,47 @@ def make_pp_correction(universe: float, grid: int, softener: float,
         diag = kk[:, None] == kk[None, :]
         accx = jnp.zeros((nc, nc, K), dtype)
         accy = jnp.zeros((nc, nc, K), dtype)
-        for dy_ in range(2 * m + 1):
-            for dx_ in range(2 * m + 1):
-                sl = lambda v: jax.lax.slice(
-                    v, (dy_, dx_, 0), (dy_ + nc, dx_ + nc, K))[..., None, :]
-                ddx = sl(Dx) - cx             # j - i -> [nc, nc, K, K]
-                ddy = sl(Dy) - cy
-                d2g = ddx * ddx + ddy * ddy
-                pair = (co * sl(Do)) > 0
-                if dy_ == m and dx_ == m:
-                    pair = pair & ~diag
-                pair = pair & (d2g < rc2)
-                w = (1.0 - _smoothstep5((jnp.sqrt(d2g) - r0) / rw)) \
-                    / jnp.power(jnp.maximum(d2g + s2c, 1e-30), 1.5)
-                w = jnp.where(pair, sl(Dm) * w, 0.0)
-                accx = accx + (w * ddx).sum(-1)
-                accy = accy + (w * ddy).sum(-1)
+
+        def offset_pass(accx, accy, dy_, dx_, center):
+            """One (dy, dx) shifted-slice pair pass. ``center`` (python
+            bool or traced bool) excludes the self-pair diagonal."""
+            sl = lambda v: jax.lax.dynamic_slice(
+                v, (dy_, dx_, 0), (nc, nc, K))[..., None, :]
+            ddx = sl(Dx) - cx             # j - i -> [nc, nc, K, K]
+            ddy = sl(Dy) - cy
+            d2g = ddx * ddx + ddy * ddy
+            pair = (co * sl(Do)) > 0
+            pair = pair & ~(diag & center)
+            pair = pair & (d2g < rc2)
+            w = (1.0 - _smoothstep5((jnp.sqrt(d2g) - r0) / rw)) \
+                / jnp.power(jnp.maximum(d2g + s2c, 1e-30), 1.5)
+            w = jnp.where(pair, sl(Dm) * w, 0.0)
+            return accx + (w * ddx).sum(-1), accy + (w * ddy).sum(-1)
+
+        if ncells <= 8192 or jax.default_backend() == "tpu":
+            # small grids (and TPU, whose compiler handles the unroll —
+            # the r4 galaxy bench path, kept pending a chip A/B): unrolled
+            # offsets fuse best (same switch rule as the SPH cell-dense
+            # passes, systems/fluid/sph.py)
+            for dy_ in range(2 * m + 1):
+                for dx_ in range(2 * m + 1):
+                    accx, accy = offset_pass(accx, accy, dy_, dx_,
+                                             dy_ == m and dx_ == m)
+        else:
+            # big grids: 25 unrolled [nc, nc, K, K] passes explode XLA
+            # compile time/memory — scan one traced pass over the offsets
+            offs = jnp.asarray([(dy_, dx_)
+                                for dy_ in range(2 * m + 1)
+                                for dx_ in range(2 * m + 1)], jnp.int32)
+
+            def body(carry, off):
+                ax_, ay_ = carry
+                ax_, ay_ = offset_pass(
+                    ax_, ay_, off[0], off[1],
+                    (off[0] == m) & (off[1] == m))
+                return (ax_, ay_), None
+
+            (accx, accy), _ = jax.lax.scan(body, (accx, accy), offs)
 
         fx_flat = jnp.concatenate([accx.reshape(-1),
                                    jnp.zeros((1,), dtype)])
