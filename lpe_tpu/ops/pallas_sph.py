@@ -263,14 +263,40 @@ def rig_width(V: int) -> int:
     return -(-(_RW_V0 + 2 * V) // 8) * 8
 
 
-def _cand_math(V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m):
+def hoist_particle_terms(cn, py, rho, p, m):
+    """Per-PARTICLE factors of the coupling impulse math, hoisted out of
+    the per-candidate loop (they are candidate-independent, and the old
+    layout recomputed the |vol|^(2/3) pow + hydrostatic column for every
+    one of up to S slots). Shared verbatim by the Pallas kernels and the
+    XLA impulse_solve so kernel<->XLA parity stays bit-tight.
+
+    Returns dict(parea, vmul, bmul):
+      parea = (p + rho_eff*g*depth) * area   (pressure force / depth_f)
+      vmul  = visc*visc_scale*rho_eff*sub_dt (viscous force / (tmag*depth_f))
+      bmul  = buoyancy*area*g*rho_eff        (buoyancy force / -pen)
+    """
+    dens = jnp.where(rho > 0.0, rho, cn["rest_density"])
+    vol = jnp.where(rho > 0, m / jnp.maximum(rho, 1e-30),
+                    m / cn["rest_density"])
+    area = jnp.abs(vol) ** (2.0 / 3.0)
+    depth = jnp.minimum(py / cn["depth_estimate_scale"], 1.0)
+    hydro = dens * cn["gravity"] * depth
+    parea = (p + hydro) * area
+    vmul = cn["viscosity"] * cn["viscosity_scale"] * dens * cn["sub_dt"]
+    bmul = cn["buoyancy_strength"] * area * cn["gravity"] * dens
+    return dict(parea=parea, vmul=vmul, bmul=bmul)
+
+
+def _cand_math(V, cn, gp, in_aabb, px, py, vx1, vy1, hp):
     """Coupling math of ONE candidate against a [K, TX] particle block.
 
     ``gp(i)`` reads candidate parameter plane i (_RW_* layout): a traced
     SCALAR for the dense big-solid loop, or a [TX] lane vector for the
     rasterized slots (each grid column carries its own rigid) — all math
-    broadcasts over either. Returns (inside, corr_x, corr_y, fx, fy, tq,
-    act): corr_* inside-masked and relax-scaled, fx/fy/tq act-masked.
+    broadcasts over either. ``hp`` carries the hoisted per-particle
+    factors (hoist_particle_terms). Returns (inside, corr_x, corr_y, fx,
+    fy, tq, act): corr_* inside-masked and relax-scaled, fx/fy/tq
+    act-masked.
 
     Ports the XLA overlap/position/impulse solves (systems/fluid/sph.py
     overlap_info/position_solve/impulse_solve; reference:
@@ -296,6 +322,11 @@ def _cand_math(V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m):
     # (reference: metal:125-194); skipped at trace time for all-circle
     # scenes. Pad vertices duplicate vertex 0: the (0 -> V-1) and
     # (v >= nverts) edges are degenerate and contribute nothing.
+    # The crossing test is the division-free form of px < xi +
+    # (xj-xi)(py-yi)/denom — both inequality directions spelled out in
+    # boolean algebra (multiplying through by denom flips on its sign;
+    # Mosaic cannot select on vector<i1>). Mirrored in sph.py
+    # _point_in_polygon so kernel and XLA agree bit-for-bit.
     parity = jnp.zeros(px.shape, jnp.int32)
     best_d2 = jnp.full(px.shape, 1e30, px.dtype)
     cxb, cyb = z, z
@@ -305,9 +336,12 @@ def _cand_math(V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m):
         xj = gp(_RW_V0 + 2 * ((v - 1) % V))
         yj = gp(_RW_V0 + 2 * ((v - 1) % V) + 1)
         denom = yj - yi
-        tx_ = (xj - xi) * (py - yi) / jnp.where(
-            jnp.abs(denom) < 1e-30, 1e-30, denom) + xi
-        crosses = ((yi > py) != (yj > py)) & (px < tx_)
+        denc = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        lhs = (px - xi) * denc
+        rhs = (xj - xi) * (py - yi)
+        straddle = (yi > py) != (yj > py)
+        pos = denc > 0
+        crosses = straddle & ((pos & (lhs < rhs)) | (~pos & (lhs > rhs)))
         parity = parity + crosses.astype(jnp.int32)
         # closest point on edge v -> v+1 (ring-wrapped)
         x2s = gp(_RW_V0 + 2 * ((v + 1) % V))
@@ -315,8 +349,8 @@ def _cand_math(V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m):
         ex = x2s - xi
         ey = y2s - yi
         el2 = ex * ex + ey * ey
-        tt = ((px - xi) * ex + (py - yi) * ey) \
-            / jnp.where(el2 < 1e-16, 1e-16, el2)
+        iel = 1.0 / jnp.where(el2 < 1e-16, 1e-16, el2)
+        tt = ((px - xi) * ex + (py - yi) * ey) * iel
         tt = jnp.clip(tt, 0.0, 1.0)
         qx = xi + tt * ex
         qy = yi + tt * ey
@@ -341,14 +375,18 @@ def _cand_math(V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m):
     inside = in_aabb & inside_s
 
     # ---- position correction (metal:533-668) ----
+    # direction components share one reciprocal per shape family (was one
+    # divide per component)
     msd = cn["min_safe_distance"]
     d_c = jnp.maximum(dist_c, msd)
-    dirx_c = jnp.where(dist_c < msd, 1.0, rx / d_c)
-    diry_c = jnp.where(dist_c < msd, 0.0, ry / d_c)
+    inv_dc = 1.0 / d_c
+    dirx_c = jnp.where(dist_c < msd, 1.0, rx * inv_dc)
+    diry_c = jnp.where(dist_c < msd, 0.0, ry * inv_dc)
     pen_c = (rrad - d_c) + cn["safety_margin"]
     d_p = jnp.maximum(dist_p, msd)
-    dirx_p = jnp.where(dist_p < msd, 1.0, pdx / d_p)
-    diry_p = jnp.where(dist_p < msd, 0.0, pdy / d_p)
+    inv_dp = 1.0 / d_p
+    dirx_p = jnp.where(dist_p < msd, 1.0, pdx * inv_dp)
+    diry_p = jnp.where(dist_p < msd, 0.0, pdy * inv_dp)
     pen_p = d_p + cn["safety_margin"]
     corr_x = jnp.where(is_c, -dirx_c * pen_c, dirx_p * pen_p)
     corr_y = jnp.where(is_c, -diry_c * pen_c, diry_p * pen_p)
@@ -362,12 +400,11 @@ def _cand_math(V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m):
     pen = jnp.where(is_c,
                     jnp.maximum(rrad - jnp.maximum(dist_c, mpen), 0.0),
                     jnp.maximum(dist_p, mpen))
-    nrm_x = jnp.where(is_c, rx / jnp.maximum(dist_c, mpen),
-                      pdx / jnp.maximum(dist_p, mpen))
-    nrm_y = jnp.where(is_c, ry / jnp.maximum(dist_c, mpen),
-                      pdy / jnp.maximum(dist_p, mpen))
+    inv_nc = 1.0 / jnp.maximum(dist_c, mpen)
+    inv_np = 1.0 / jnp.maximum(dist_p, mpen)
+    nrm_x = jnp.where(is_c, rx * inv_nc, pdx * inv_np)
+    nrm_y = jnp.where(is_c, ry * inv_nc, pdy * inv_np)
     act = inside & ok_r & (pen >= mpen)
-    dens = jnp.where(rho > 0.0, rho, cn["rest_density"])
     rig_vx = rvxs - rom * ry
     rig_vy = rvys + rom * rx
     rvx = vx1 - rig_vx
@@ -377,29 +414,25 @@ def _cand_math(V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m):
     vn = rvx * nrm_x + rvy * nrm_y
     tvx = rvx - nrm_x * vn
     tvy = rvy - nrm_y * vn
-    vol = jnp.where(rho > 0, m / jnp.maximum(rho, 1e-30),
-                    m / cn["rest_density"])
-    area = jnp.abs(vol) ** (2.0 / 3.0)
-    depth = jnp.minimum(py / cn["depth_estimate_scale"], 1.0)
-    hydro = dens * cn["gravity"] * depth
-    total_p = p + hydro
-    pforce = total_p * area * depth_f
+    pforce = hp["parea"] * depth_f
     maxF = cn["max_force"]
     fx = nrm_x * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
     fy = nrm_y * jnp.minimum(pforce, maxF * cn["pressure_force_ratio"])
     tmag = jnp.sqrt(tvx * tvx + tvy * tvy)
     hast = tmag > cn["min_rel_velocity"]
-    vforce = cn["viscosity"] * cn["viscosity_scale"] * tmag * dens \
-        * depth_f * cn["sub_dt"]
+    vforce = hp["vmul"] * tmag * depth_f
     vcap = jnp.minimum(vforce, maxF * cn["viscous_force_ratio"])
-    fx = fx + jnp.where(hast, -tvx / jnp.maximum(tmag, 1e-30) * vcap, 0.0)
-    fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap, 0.0)
-    buoy = -cn["buoyancy_strength"] * pen * area * cn["gravity"] * dens
+    tdir = vcap / jnp.maximum(tmag, 1e-30)
+    fx = fx + jnp.where(hast, -tvx * tdir, 0.0)
+    fy = fy + jnp.where(hast, -tvy * tdir, 0.0)
+    buoy = -(hp["bmul"] * pen)
     bfy = jnp.where(rmass > 0.1, buoy, 0.0)
-    keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= maxF
+    keep = fx * fx + (fy + bfy) ** 2 <= maxF * maxF
     fy = jnp.where(keep, fy + bfy, fy)
-    fmag = jnp.sqrt(fx * fx + fy * fy)
-    fscale = jnp.where(fmag > maxF, maxF / jnp.maximum(fmag, 1e-30), 1.0)
+    fmag2 = fx * fx + fy * fy
+    fscale = jnp.where(fmag2 > maxF * maxF,
+                       maxF * jax.lax.rsqrt(jnp.maximum(fmag2, 1e-30)),
+                       1.0)
     fx = fx * fscale
     fy = fy * fscale
     tq = jnp.clip(rx * fy - ry * fx, -cn["max_torque"], cn["max_torque"])
@@ -467,6 +500,10 @@ def _couple_rows(S, NBIG, V, cn, K, TX, t, fld_ref, big_ref, opl, orf, cacc,
         for i in range(3 * NBIG):
             orf[0, t, i] = jnp.float32(0.0)
     occp = occ > 0
+    # candidate-independent particle factors, once per block instead of
+    # once per slot (the pow in |vol|^(2/3) dominated the old per-slot
+    # recompute)
+    hp = hoist_particle_terms(cn, py, rho, p, m)
     for s in range(S):
         def gp(i, s=s):
             return fld_ref[0, s, i]
@@ -477,7 +514,7 @@ def _couple_rows(S, NBIG, V, cn, K, TX, t, fld_ref, big_ref, opl, orf, cacc,
         @pl.when(jnp.any(in_aabb))
         def _(s=s, gp=gp, in_aabb=in_aabb):
             inside, cx_, cy_, fx, fy, tq, act = _cand_math(
-                V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m)
+                V, cn, gp, in_aabb, px, py, vx1, vy1, hp)
             cacc[0] = cacc[0] + cx_
             cacc[1] = cacc[1] + cy_
             cacc[2] = cacc[2] + fx
@@ -500,7 +537,7 @@ def _couple_rows(S, NBIG, V, cn, K, TX, t, fld_ref, big_ref, opl, orf, cacc,
         @pl.when(jnp.any(in_aabb))
         def _(bi=bi, gp=gp, in_aabb=in_aabb):
             inside, cx_, cy_, fx, fy, tq, act = _cand_math(
-                V, cn, gp, in_aabb, px, py, vx1, vy1, rho, p, m)
+                V, cn, gp, in_aabb, px, py, vx1, vy1, hp)
             cacc[0] = cacc[0] + cx_
             cacc[1] = cacc[1] + cy_
             cacc[2] = cacc[2] + fx

@@ -156,10 +156,16 @@ def _point_in_polygon(px, py, wx, wy, vmask, nv):
     xi, yi = wx[:, :, None], wy[:, :, None]
     p_x = px[None, None, :]                                  # [1,1,NL]
     p_y = py[None, None, :]
+    # division-free crossing test (multiplied through by denom, both
+    # inequality directions spelled out) — the same form as the Pallas
+    # _cand_math polygon loop so kernel<->XLA parity stays bit-tight
     denom = yj - yi
-    tx = (xj - xi) * (p_y - yi) / jnp.where(jnp.abs(denom) < 1e-30,
-                                            1e-30, denom) + xi
-    crosses = ((yi > p_y) != (yj > p_y)) & (p_x < tx)
+    denc = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+    lhs = (p_x - xi) * denc
+    rhs = (xj - xi) * (p_y - yi)
+    straddle = (yi > p_y) != (yj > p_y)
+    pos = denc > 0
+    crosses = straddle & ((pos & (lhs < rhs)) | (~pos & (lhs > rhs)))
     crosses = crosses & vmask[:, :, None]
     inside = (jnp.sum(crosses.astype(jnp.int32), axis=1) % 2) == 1
     return inside & (nv[:, None] >= 3)
@@ -181,7 +187,9 @@ def _closest_point_on_polygon(px, py, wx, wy, vmask, nv):
     dx = px[None, None, :] - wx_
     dy = py[None, None, :] - wy_
     elen2 = ex * ex + ey * ey
-    t = (dx * ex + dy * ey) / jnp.where(elen2 < 1e-16, 1e-16, elen2)
+    # reciprocal-multiply, matching the Pallas kernel's edge loop
+    t = (dx * ex + dy * ey) * (1.0 / jnp.where(elen2 < 1e-16, 1e-16,
+                                               elen2))
     t = jnp.clip(t, 0.0, 1.0)
     cx = wx_ + t * ex               # [NR,V,NL]
     cy = wy_ + t * ey
@@ -1109,19 +1117,22 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         """PBD push-out (reference: metal:533-668). ``o`` is the shared
         overlap_info of (px, py) — computed once per substep for both
         coupling solvers."""
-        # circle correction
+        # circle correction (reciprocal shared per shape family, matching
+        # the Pallas _cand_math form bit-for-bit)
         d_c = jnp.maximum(o["dist_c"], psv.min_safe_distance)
+        inv_dc = 1.0 / d_c
         dirx_c = jnp.where(o["dist_c"] < psv.min_safe_distance, 1.0,
-                           o["rx"] / d_c)
+                           o["rx"] * inv_dc)
         diry_c = jnp.where(o["dist_c"] < psv.min_safe_distance, 0.0,
-                           o["ry"] / d_c)
+                           o["ry"] * inv_dc)
         pen_c = (o["rad"] - d_c) + psv.safety_margin
         # polygon correction (sign flip: reference adds then subtracts)
         d_p = jnp.maximum(o["dist_p"], psv.min_safe_distance)
+        inv_dp = 1.0 / d_p
         dirx_p = jnp.where(o["dist_p"] < psv.min_safe_distance, 1.0,
-                           o["pdx"] / d_p)
+                           o["pdx"] * inv_dp)
         diry_p = jnp.where(o["dist_p"] < psv.min_safe_distance, 0.0,
-                           o["pdy"] / d_p)
+                           o["pdy"] * inv_dp)
         pen_p = d_p + psv.safety_margin
         corr_x = jnp.where(o["is_c"], -dirx_c * pen_c, dirx_p * pen_p)
         corr_y = jnp.where(o["is_c"], -diry_c * pen_c, diry_p * pen_p)
@@ -1164,13 +1175,12 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                                                            isv.min_penetration),
                                     0.0),
                         jnp.maximum(o["dist_p"], isv.min_penetration))
-        nrm_x = jnp.where(o["is_c"], o["rx"] / jnp.maximum(o["dist_c"], isv.min_penetration),
-                          o["pdx"] / jnp.maximum(o["dist_p"], isv.min_penetration))
-        nrm_y = jnp.where(o["is_c"], o["ry"] / jnp.maximum(o["dist_c"], isv.min_penetration),
-                          o["pdy"] / jnp.maximum(o["dist_p"], isv.min_penetration))
+        inv_nc = 1.0 / jnp.maximum(o["dist_c"], isv.min_penetration)
+        inv_np = 1.0 / jnp.maximum(o["dist_p"], isv.min_penetration)
+        nrm_x = jnp.where(o["is_c"], o["rx"] * inv_nc, o["pdx"] * inv_np)
+        nrm_y = jnp.where(o["is_c"], o["ry"] * inv_nc, o["pdy"] * inv_np)
         act = o["inside"] & ok_r & (pen >= isv.min_penetration)
 
-        dens = jnp.where(rho > 0.0, rho, fc.rest_density)[None, :]
         rel_x = o["rx"]
         rel_y = o["ry"]
         rig_vx = R["vel"][:, 0][:, None] - R["omega"][:, None] * rel_y
@@ -1181,31 +1191,35 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
         vn = rvx * nrm_x + rvy * nrm_y
         tvx = rvx - nrm_x * vn
         tvy = rvy - nrm_y * vn
-        # particle volume/area are per-particle ([NL]) — keep them 1-D until
-        # the broadcast with [NR,NL] terms
-        vol = jnp.where(rho > 0, mass / jnp.maximum(rho, 1e-30),
-                        mass / fc.rest_density)
-        area = (jnp.abs(vol) ** (2.0 / 3.0))[None, :]
-        depth = jnp.minimum(py / isv.depth_estimate_scale, 1.0)[None, :]
-        hydro = dens * fc.gravity * depth
-        total_p = pres[None, :] + hydro
-        pforce = total_p * area * depth_f
+        # per-particle factors hoisted exactly as in the Pallas kernels
+        # (ops/pallas_sph.hoist_particle_terms) — [NL], broadcast against
+        # the [NR, NL] candidate terms only at the final products
+        from ...ops.pallas_sph import hoist_particle_terms
+        hcn = dict(rest_density=fc.rest_density,
+                   depth_estimate_scale=isv.depth_estimate_scale,
+                   gravity=fc.gravity, viscosity=fc.viscosity,
+                   viscosity_scale=isv.viscosity_scale, sub_dt=sub_dt,
+                   buoyancy_strength=isv.buoyancy_strength)
+        hp = hoist_particle_terms(hcn, py, rho, pres, mass)
+        pforce = hp["parea"][None, :] * depth_f
         fx = nrm_x * jnp.minimum(pforce, isv.max_force * isv.pressure_force_ratio)
         fy = nrm_y * jnp.minimum(pforce, isv.max_force * isv.pressure_force_ratio)
         tmag = jnp.sqrt(tvx * tvx + tvy * tvy)
         hast = tmag > isv.min_rel_velocity
-        vforce = fc.viscosity * isv.viscosity_scale * tmag * dens * depth_f * sub_dt
+        vforce = hp["vmul"][None, :] * tmag * depth_f
         vcap = jnp.minimum(vforce, isv.max_force * isv.viscous_force_ratio)
-        fx = fx + jnp.where(hast, -tvx / jnp.maximum(tmag, 1e-30) * vcap, 0.0)
-        fy = fy + jnp.where(hast, -tvy / jnp.maximum(tmag, 1e-30) * vcap, 0.0)
+        tdir = vcap / jnp.maximum(tmag, 1e-30)
+        fx = fx + jnp.where(hast, -tvx * tdir, 0.0)
+        fy = fy + jnp.where(hast, -tvy * tdir, 0.0)
         # buoyancy
-        buoy = -isv.buoyancy_strength * pen * area * fc.gravity * dens
+        buoy = -(hp["bmul"][None, :] * pen)
         bfy = jnp.where(R["mass"][:, None] > 0.1, buoy, 0.0)
-        keep = jnp.sqrt(fx * fx + (fy + bfy) ** 2) <= isv.max_force
+        keep = fx * fx + (fy + bfy) ** 2 <= isv.max_force * isv.max_force
         fy = jnp.where(keep, fy + bfy, fy)
-        fmag = jnp.sqrt(fx * fx + fy * fy)
-        fscale = jnp.where(fmag > isv.max_force,
-                           isv.max_force / jnp.maximum(fmag, 1e-30), 1.0)
+        fmag2 = fx * fx + fy * fy
+        fscale = jnp.where(fmag2 > isv.max_force * isv.max_force,
+                           isv.max_force
+                           * jax.lax.rsqrt(jnp.maximum(fmag2, 1e-30)), 1.0)
         fx, fy = fx * fscale, fy * fscale
         tq = jnp.clip(rel_x * fy - rel_y * fx, -isv.max_torque, isv.max_torque)
         spin = jnp.abs(R["omega"])[:, None] > isv.angular_damping_threshold
@@ -1525,7 +1539,10 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
             if NR > 0 else None
         fld = bigtab = cmeta = None
         couple = _ablate == ""
-        if use_cpl_kernel:
+        # ablate "nofield" also skips the once-per-tick candidate field
+        # build (fld is unused when couple=False), isolating its cost from
+        # the per-substep coupling kernel in traces
+        if use_cpl_kernel and _ablate != "nofield":
             with jax.named_scope("couple_field"):
                 fld, bigtab, cmeta = _couple_field(R, ny + 2)
         zd = jnp.zeros_like(D["x"])
@@ -1548,7 +1565,7 @@ def make_fluid_system(spec: SceneSpec, cfg: ScenarioSystemConfig,
                 Tq = Tq + Fs[:, 2]
             return Fx, Fy, Tq
 
-        if use_stacked and _ablate in ("", "nocouple9"):
+        if use_stacked and _ablate in ("", "nocouple9", "nofield"):
             # stack the dict planes once per tick (ax/ay reset to zero);
             # the sub-step loop carries the [ny+2, 9, K, NTX] stack between
             # the three kernels with no per-sub-step restacks

@@ -35,7 +35,15 @@ def main():
         "NT_VARIANTS",
         "full,nocouple9,norigid,nofluid,simple").split(",")
 
-    sc = build_north_star(NF, NRB, seed=0)
+    scene_kind = os.environ.get("NT_SCENE", "north")
+    if scene_kind == "coupled":
+        from lpe_tpu.scenarios.bench_scenes import build_coupled_dam
+        sc = build_coupled_dam(NF, NRB, seed=0)
+    elif scene_kind == "dam":
+        from lpe_tpu.scenarios.bench_scenes import build_dam_break
+        sc = build_dam_break(NF, seed=0)
+    else:
+        sc = build_north_star(NF, NRB, seed=0)
     print(json.dumps({"scene": sc.spec.name, "n": int(sc.state.bodies.pos.shape[0]),
                       "device": str(jax.devices()[0])}), flush=True)
     from lpe_tpu.systems.rigid.grid_pipeline import grid_dims
@@ -45,10 +53,15 @@ def main():
                        for k, v in (gd or {}).items()}}), flush=True)
 
     def build_run(skip=(), ablate=""):
-        """build_run_fn logic with a skip-set; env ablate is read at trace
-        time by sph.py."""
+        """build_run_fn logic with a skip-set. sph.py reads
+        LPE_SPH_ABLATE at TRACE time (first call of the jitted run), NOT
+        at build time — so the env var is set here and must stay set
+        until the variant's first run() call; trace_env below wraps the
+        first call. (A previous version popped the env in a finally
+        block before tracing ever happened, silently timing the FULL
+        program for every ablate variant.)"""
         os.environ["LPE_SPH_ABLATE"] = ablate
-        try:
+        if True:
             systems = [(n, f) for n, f in
                        build_system_list(sc.spec, sc.cfg) if n not in skip]
             sysd = dict(systems)
@@ -85,9 +98,18 @@ def main():
                         lambda c, _: (tick_ct(*c), None), (state, D),
                         None, length=BLOCK)
                     return fl.grid_readback(state, D)
-            return jax.jit(run, donate_argnums=(0,))
-        finally:
-            os.environ.pop("LPE_SPH_ABLATE", None)
+            jr = jax.jit(run, donate_argnums=(0,))
+
+            def first_call(state, _abl=ablate):
+                """Trace under the variant's ablate env (lazy jit trace)."""
+                os.environ["LPE_SPH_ABLATE"] = _abl
+                try:
+                    return jr(state)
+                finally:
+                    os.environ.pop("LPE_SPH_ABLATE", None)
+
+            jr.trace_first = first_call
+            return jr
 
     # ---- settle with the full pipeline so timing sees real contact density
     run_full = build_run()
@@ -111,6 +133,7 @@ def main():
     cfgmap = {
         "full": ((), ""),
         "nocouple9": ((), "nocouple9"),       # stacked fluid, no coupling
+        "nofield": ((), "nofield"),           # ... and no candidate field
         "norigid": (("rigid",), ""),          # fluid+coupling, no rigid sys
         "nofluid": (("fluid",), ""),          # rigid system + simple only
         "simple": (("fluid", "rigid"), ""),   # glue floor
@@ -121,7 +144,7 @@ def main():
         run = build_run(skip, abl)
         st = jax.tree.map(jnp.copy, settled)
         t0 = time.perf_counter()
-        st = run(st)
+        st = run.trace_first(st)
         np.asarray(st.bodies.pos)
         compile_s = time.perf_counter() - t0
         best = 1e9
