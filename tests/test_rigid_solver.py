@@ -170,6 +170,93 @@ def test_stacking_stability(stages):
     assert ys.max() < 4.96                        # nothing sank through floor
 
 
+def test_tall_stack_penetration_default_config():
+    """Default-configuration quality gate (VERDICT r4 #6): a 12-box tall
+    stack under gravity must settle with bounded interpenetration and
+    bounded floor sink at the SHIPPED solver defaults (stages=1 Jacobi +
+    warm-start slot fallback), quantified against the native sequential-GS
+    engine on the identical stack.
+
+    Measured r5 (scripts/solver_defaults_ab.py, deterministic CPU):
+      default (s1):        max_pen 0.141, floor_sink 0.128, calm 0.042
+      staged s4 / s4+f1:   max_pen 0.200, sink 0.063, jitter 0.59-0.64,
+                           and BOTH jam the Galton funnel (y_mean 1.4-1.5
+                           vs the 2.0 gate) — so stages=1 stays default.
+      native GS oracle:    max_pen 0.200, floor_sink 1.150 (the
+                           reference's own 10-iteration PGS lets the
+                           12-stack sink THROUGH the floor).
+    Bounds below are the measured defaults + headroom, plus the direct
+    better-than-native comparison."""
+    hw = 0.1
+    n_boxes = 12
+    box = np.array([[-hw, -hw], [-hw, hw], [hw, hw], [hw, -hw]])
+    ents = [dict(pos=(3.0, 5.0), vel=(0.0, 0.0), mass=1e30, boundary=True,
+                 shape_kind=int(ShapeKind.POLYGON), radius=0.05,
+                 verts=np.array([[-3, -0.05], [-3, 0.05], [3, 0.05],
+                                 [3, -0.05]]),
+                 has_sleep=True, asleep=True)]
+    for i in range(n_boxes):
+        ents.append(dict(pos=(3.0, 4.95 - hw - 2 * hw * i), vel=(0.0, 0.0),
+                         mass=1.0, shape_kind=int(ShapeKind.POLYGON),
+                         radius=hw, verts=box,
+                         inertia=(2.0 / 3.0) * 1.0 * hw * hw))
+    sc = scene(ents)            # no overrides: the shipped defaults
+    import jax
+    import jax.numpy as jnp
+    step = rigid_step(sc)
+    dt = sc.cfg.shared.seconds_per_tick
+    g_dt = 9.8 * dt
+
+    @jax.jit
+    def gravity_and_move(s):
+        b = s.bodies
+        free = ~b.boundary
+        vy = b.vel[:, 1] + jnp.where(free, g_dt, 0.0)
+        vel = b.vel.at[:, 1].set(vy)
+        pos = b.pos + jnp.where(free[:, None], vel * dt, 0.0)
+        return s.replace(bodies=b.replace(vel=vel, pos=pos))
+
+    s = sc.state
+    for _ in range(400):
+        s = step(gravity_and_move(s))
+    p = np.asarray(s.bodies.pos)
+    v = np.asarray(s.bodies.vel)
+    assert np.isfinite(p).all()
+    ys = np.sort(p[1:1 + n_boxes, 1])
+    pen = np.maximum(0.0, 2 * hw - np.diff(ys))
+    sink = max(0.0, ys.max() + hw - 4.95)
+    assert pen.max() < 0.16, f"max penetration {pen.max():.3f}"
+    assert sink < 0.2, f"floor sink {sink:.3f}"
+    assert np.abs(v[1:1 + n_boxes]).max() < 0.5, "stack not calm"
+    # direct comparison vs the native sequential-GS engine (skip when no
+    # toolchain): the parallel default must not be WORSE than the
+    # reference's own solver on either metric
+    from lpe_tpu.oracle.native import NativeRigidOracle, NativeUnavailable
+    try:
+        b = sc.state.bodies
+        n = 1 + n_boxes
+        o = NativeRigidOracle(universe=6.0, margin=0.0)
+        np_, _, _, _ = o.run(
+            np.asarray(b.pos, np.float64)[:n],
+            np.asarray(b.vel, np.float64)[:n],
+            np.asarray(b.angle, np.float64)[:n],
+            np.asarray(b.omega, np.float64)[:n],
+            np.asarray(b.mass, np.float64)[:n],
+            np.asarray(b.inertia, np.float64)[:n],
+            np.asarray(b.verts, np.float64)[:n],
+            np.asarray(b.nverts, np.int32)[:n],
+            np.asarray(b.radius, np.float64)[:n],
+            (np.asarray(b.shape_kind)[:n] == 0).astype(np.uint8),
+            np.asarray(b.boundary)[:n].astype(np.uint8), 400)
+        nys = np.sort(np_[1:, 1])
+        npen = np.maximum(0.0, 2 * hw - np.diff(nys))
+        nsink = max(0.0, nys.max() + hw - 4.95)
+        assert pen.max() <= npen.max() + 1e-6
+        assert sink <= nsink + 1e-6
+    except NativeUnavailable:
+        pass                     # no toolchain: absolute bounds above hold
+
+
 def test_warm_impulse_position_matching():
     """Impulses follow contact POINTS, not slots (contact_manager.cpp:222-234):
     a slot-order flip between ticks keeps each point's accumulated impulse;
