@@ -180,7 +180,7 @@ def main():
             ov = (miny[None, :] <= ry1[:, None]) & \
                  (maxy[None, :] >= ry0[:, None]) & valid[None, :]
             score = jnp.where(ov, NR - jnp.arange(NR)[None, :], 0)
-            vals, idx = jax.lax.top_k(score, 16)
+            vals, idx = jax.lax.top_k(score, min(16, NR))
             return jnp.where(vals > 0, idx, NR).astype(jnp.int32)
 
         args = (R["miny"], R["maxy"], R["valid"])
